@@ -1,0 +1,71 @@
+"""DeepLabV3+ (backbone -> ASPP -> decoder -> x4 bilinear to input size).
+
+Capability parity with reference models/architectures/deeplab.py:17-79 and
+models/decoder.py:15-65: low-level 256(resnet)/128(xception) -> 48 via 1x1,
+ASPP output upsampled x4 (align_corners), concat (304 ch), two 3x3 convs
+with dropout 0.5/0.1, 1x1 head, final bilinear to the input resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pylc_tpu.models.aspp import ASPP
+from pylc_tpu.models.layers import resize_bilinear_align_corners
+from pylc_tpu.models.resnet import ResNet101
+from pylc_tpu.models.xception import AlignedXception
+
+
+class DeepLabDecoder(nn.Module):
+    n_classes: int
+    norm: Callable[..., nn.Module] = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x, low_level_feat, *, train: bool = False):
+        ll = nn.Conv(48, (1, 1), use_bias=False, name="ll_conv")(
+            low_level_feat)
+        ll = self.norm(name="ll_bn")(ll)
+        ll = nn.relu(ll)
+        x = resize_bilinear_align_corners(x, ll.shape[-3], ll.shape[-2])
+        x = jnp.concatenate([x, ll], axis=-1)
+        x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    name="conv1")(x)
+        x = self.norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    name="conv2")(x)
+        x = self.norm(name="bn2")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        return nn.Conv(self.n_classes, (1, 1), name="head")(x)
+
+
+class DeepLab(nn.Module):
+    n_classes: int = 9
+    backbone: str = "resnet"
+    output_stride: int = 16
+    norm: Callable[..., nn.Module] = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: [B, H, W, 3] normalized input (grayscale inputs are stacked
+        to 3 channels by the caller, reference models/model.py:310-311).
+        Returns [B, H, W, n_classes] logits."""
+        H, W = x.shape[-3], x.shape[-2]
+        if self.backbone == "resnet":
+            feat, ll = ResNet101(self.output_stride, self.norm,
+                                 name="backbone")(x)
+        elif self.backbone == "xception":
+            feat, ll = AlignedXception(self.output_stride, self.norm,
+                                       name="backbone")(x)
+        else:
+            raise ValueError(f"Unknown backbone '{self.backbone}'")
+        y = ASPP(self.output_stride, norm=self.norm,
+                 name="aspp")(feat, train=train)
+        y = DeepLabDecoder(self.n_classes, self.norm,
+                           name="decoder")(y, ll, train=train)
+        return resize_bilinear_align_corners(y, H, W)

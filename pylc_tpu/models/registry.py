@@ -1,0 +1,40 @@
+"""Architecture dispatch (reference models/model.py:139-179)."""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from pylc_tpu.config import Config
+from pylc_tpu.models.deeplab import DeepLab
+from pylc_tpu.models.layers import get_activation, make_norm
+from pylc_tpu.models.res_unet import ResUNet
+from pylc_tpu.models.unet import UNet
+
+
+def build_model(cfg: Config, train: bool = False,
+                axis_name: str = "data") -> nn.Module:
+    """Instantiate the configured architecture.
+
+    The normalizer factory is bound to the train/eval phase here (flax
+    BatchNorm needs ``use_running_average`` at construction, unlike
+    torch's mode flag).
+    """
+    norm = make_norm(cfg.norm_type, train=train, axis_name=axis_name)
+    act = get_activation(cfg.activ_type)
+
+    if cfg.arch == "unet":
+        return UNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode,
+                    dropout=cfg.dropout, norm=norm, act=act)
+    if cfg.arch == "resunet":
+        return ResUNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode, act=act)
+    if cfg.arch == "deeplab":
+        return DeepLab(n_classes=cfg.n_classes, backbone=cfg.backbone,
+                       norm=norm)
+    raise ValueError(f"Model '{cfg.arch}' not available. "
+                     f"Options: {cfg.arch_options}")
+
+
+def model_input_channels(cfg: Config) -> int:
+    """DeepLab always takes 3 channels (grayscale stacked x3, reference
+    models/model.py:310-311); U-Nets take the raw channel count."""
+    return 3 if cfg.arch == "deeplab" else cfg.ch

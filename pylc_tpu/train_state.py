@@ -1,0 +1,200 @@
+"""Train state, optimizers, LR schedules, and jitted step functions.
+
+The reference's per-batch hot loop is host Python around a torch
+forward/backward (models/model.py:282-336: flip + normalize on host,
+.to(device) per batch, three separate loss softmaxes, clip, step).  Here
+the whole step — uint8 batch in, new state + metrics out — is ONE jitted
+XLA program: flip, normalize, forward, fused multi-loss, grad, global
+clip(0.5), optimizer update.  Donated state buffers keep HBM flat.
+
+Optimizer/scheduler parity (reference models/model.py:238-280):
+  - adam  -> AdamW(lr=1e-4, weight_decay=5e-5)  [decoupled, as torch]
+  - sgd   -> SGD(momentum=0.9)
+  - step_lr   -> lr * 0.9^epoch (StepLR step_size=1)
+  - cyclic_lr -> triangular 1e-6 -> 0.1, 2000 steps up (CyclicLR default)
+  - anneal    -> constant (reference returns None)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from pylc_tpu.config import Config
+from pylc_tpu.models.registry import build_model
+from pylc_tpu.ops.losses import LossWeights, multi_loss
+from pylc_tpu.ops.normalize import normalize_image
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    base = cfg.lr
+    if cfg.sched_type == "step_lr":
+        spe = max(1, steps_per_epoch)
+
+        def sched(step):
+            epoch = step // spe
+            return base * jnp.power(cfg.gamma, epoch.astype(jnp.float32))
+        return sched
+    if cfg.sched_type == "cyclic_lr":
+        up = 2000.0
+
+        def sched(step):
+            cycle = jnp.floor(1 + step / (2 * up))
+            x = jnp.abs(step / up - 2 * cycle + 1)
+            return cfg.lr_min + (cfg.lr_max - cfg.lr_min) * \
+                jnp.maximum(0.0, 1.0 - x)
+        return sched
+    if cfg.sched_type == "anneal":
+        return lambda step: jnp.asarray(base)
+    raise ValueError(f"Scheduler '{cfg.sched_type}' is not defined.")
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int
+                   ) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.optim_type == "adam":
+        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optim_type == "sgd":
+        opt = optax.sgd(sched, momentum=cfg.momentum)
+    else:
+        raise ValueError(f"Optimizer '{cfg.optim_type}' is not defined.")
+    # in-place gradient norm clip at 0.5 (reference models/model.py:326)
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+
+
+def init_state(cfg: Config, rng: jax.Array, steps_per_epoch: int = 100
+               ) -> Tuple[TrainState, Any]:
+    """Initialize model params/batch_stats and optimizer state."""
+    model = build_model(cfg, train=True)
+    in_ch = 3 if cfg.arch == "deeplab" else cfg.ch
+    dummy = jnp.zeros((1, cfg.tile_size, cfg.tile_size, in_ch), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params),
+                       tx=tx)
+    return state, model
+
+
+def _prepare_batch(cfg: Config, img, mask, flip: Optional[jnp.ndarray]):
+    """Flip + normalize + target crop + channel stack, traced into the
+    step program (reference does all of this on host per batch,
+    models/model.py:295-311)."""
+    x = img.astype(jnp.float32)
+    if x.ndim == 4 and x.shape[1] in (1, 3) and x.shape[1] != x.shape[-1]:
+        x = jnp.transpose(x, (0, 2, 3, 1))  # accept NCHW input
+    if flip is not None:
+        # batch-level horizontal (width) flip — the reference flips
+        # dim 3 of NCHW = width (models/model.py:296-298)
+        xf = x[:, :, ::-1, :]
+        x = jnp.where(flip, xf, x)
+        if mask is not None:
+            mask = jnp.where(flip, mask[:, :, ::-1], mask)
+    x = normalize_image(x, cfg.px_mean or cfg.px_rgb_mean,
+                        cfg.px_std or cfg.px_rgb_std, cfg.ch,
+                        default=cfg.normalize_default)
+    if cfg.ch == 1 and cfg.arch == "deeplab":
+        x = jnp.concatenate([x, x, x], axis=-1)
+    if mask is not None and cfg.arch == "unet":
+        lo, hi = cfg.crop_window
+        mask = mask[:, lo:hi, lo:hi]
+    return x, mask
+
+
+def make_train_step(cfg: Config, model):
+    """Build the jitted train step: (state, img u8, mask u8, rng) ->
+    (state, metrics)."""
+    lw = LossWeights(ce=cfg.ce_weight, dice=cfg.dice_weight,
+                     focal=cfg.focal_weight, weighted=cfg.weighted,
+                     dice_smooth=cfg.dice_smooth, fl_alpha=cfg.fl_alpha,
+                     fl_gamma=cfg.fl_gamma)
+    cw = jnp.asarray(np.asarray(cfg.weights, dtype=np.float32)) \
+        if cfg.weights is not None else None
+    has_bn = cfg.norm_type in ("batch", "syncbatch")
+
+    def step(state: TrainState, img, mask, rng):
+        flip_rng, drop_rng = jax.random.split(rng)
+        flip = jax.random.bernoulli(flip_rng)
+        x, y = _prepare_batch(cfg, img, mask.astype(jnp.int32), flip)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(variables, x, train=True,
+                              rngs={"dropout": drop_rng}, mutable=mutable)
+            logits, new_vars = out if mutable else (out, {})
+            total, aux = multi_loss(logits, y, class_weights=cw, w=lw)
+            return total, (aux, new_vars.get("batch_stats", state.batch_stats))
+
+        (total, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = dict(aux, total=total)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, model_eval):
+    """Jitted validation step: (state, img, mask) -> metrics."""
+    lw = LossWeights(ce=cfg.ce_weight, dice=cfg.dice_weight,
+                     focal=cfg.focal_weight, weighted=cfg.weighted,
+                     dice_smooth=cfg.dice_smooth, fl_alpha=cfg.fl_alpha,
+                     fl_gamma=cfg.fl_gamma)
+    cw = jnp.asarray(np.asarray(cfg.weights, dtype=np.float32)) \
+        if cfg.weights is not None else None
+    has_bn = cfg.norm_type in ("batch", "syncbatch")
+
+    def step(state: TrainState, img, mask):
+        x, y = _prepare_batch(cfg, img, mask.astype(jnp.int32), None)
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        logits = model_eval.apply(variables, x, train=False)
+        total, aux = multi_loss(logits, y, class_weights=cw, w=lw)
+        return dict(aux, total=total)
+
+    return jax.jit(step)
+
+
+def make_predict(cfg: Config, model_eval):
+    """Jitted inference: (state, img u8 [B,H,W,C]) -> logits [B,H,W,K].
+
+    Uses normalize_default per checkpoint meta (reference
+    models/model.py:367-382)."""
+    has_bn = cfg.norm_type in ("batch", "syncbatch")
+
+    def predict(state: TrainState, img):
+        x, _ = _prepare_batch(cfg, img, None, None)
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        return model_eval.apply(variables, x, train=False)
+
+    return jax.jit(predict)
