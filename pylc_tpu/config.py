@@ -87,6 +87,20 @@ META_FIELDS = (
     "m2", "jsd", "extract", "n_tiles", "arch", "backbone", "normalize_default",
 )
 
+# The subset of META_FIELDS that are facts about the *data* (palette,
+# geometry, statistics).  When a tile DB's metadata rehydrates a config
+# at train time, only these may override user settings — network
+# hyperparameters (arch, backbone, ...) stay with the CLI/config.  (The
+# reference's global-singleton update stomps user args with DB metadata,
+# db/database.py:164; see docs/DEVIATIONS.md.)
+DATA_META_FIELDS = (
+    "id", "ch", "schema", "schema_name", "n_classes", "class_labels",
+    "class_codes", "palette_hex", "palette_rgb", "tile_size", "stride",
+    "scale", "scales", "n_samples", "tile_px_count", "px_mean", "px_std",
+    "px_dist", "dset_px_dist", "dset_px_count", "probs", "weights",
+    "m2", "jsd", "extract", "n_tiles",
+)
+
 
 @dataclass
 class Config:
@@ -191,6 +205,8 @@ class Config:
     # U-Net valid-conv geometry (reference config.py:224-236)
     input_size: int = 512
     output_size: int = 324
+    unet_depth: int = 5
+    unet_wf: int = 6  # first-layer filters = 2**wf
 
     # training loop / reporting
     resume_checkpoint: bool = False
@@ -257,6 +273,8 @@ class Config:
         for k, v in kwargs.items():
             if v is None:
                 continue
+            if isinstance(getattr(type(new), k, None), property):
+                continue  # derived fields (tile_px_count, pad_size, ...)
             if hasattr(new, k):
                 setattr(new, k, v)
         if "schema" in kwargs and kwargs["schema"]:
@@ -282,23 +300,29 @@ class Config:
         return json.dumps(self.to_meta())
 
     @staticmethod
-    def from_meta(meta: Dict[str, Any], base: Optional["Config"] = None
-                  ) -> "Config":
+    def from_meta(meta: Dict[str, Any], base: Optional["Config"] = None,
+                  fields: Optional[Tuple[str, ...]] = None) -> "Config":
         """Rehydrate a Config from a meta dict written by this package or
         by the reference (which dumps *all* Parameters vars —
-        db/database.py:235). Unknown keys are ignored."""
+        db/database.py:235). Unknown keys are ignored.  ``fields``
+        restricts which keys may be applied (e.g. DATA_META_FIELDS so DB
+        metadata can't stomp user-chosen network settings)."""
         cfg = dataclasses.replace(base) if base is not None else Config()
         for k, v in meta.items():
-            if hasattr(cfg, k) and v is not None and not k.endswith("_options"):
-                try:
-                    setattr(cfg, k, v)
-                except dataclasses.FrozenInstanceError:  # pragma: no cover
-                    pass
+            if fields is not None and k not in fields:
+                continue
+            if k.endswith("_options") or v is None:
+                continue
+            if isinstance(getattr(type(cfg), k, None), property):
+                continue  # derived fields
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
         return cfg
 
     @staticmethod
-    def from_meta_json(s: str, base: Optional["Config"] = None) -> "Config":
-        return Config.from_meta(json.loads(s), base)
+    def from_meta_json(s: str, base: Optional["Config"] = None,
+                       fields: Optional[Tuple[str, ...]] = None) -> "Config":
+        return Config.from_meta(json.loads(s), base, fields)
 
     # ---------------- identifiers -------------------------------------- #
 

@@ -1,0 +1,393 @@
+"""torch .pth <-> JAX pytree checkpoint conversion.
+
+Published PyLC artifacts are torch pickles: 9 pretrained DeepLab models
+(README "Pretrained Models", Zenodo DOI 10.5281/zenodo.4275008) saved as
+{'model': state_dict, 'optim': ..., 'meta': Parameters}
+(models/modules/checkpoint.py:53-66), plus the ImageNet
+``resnet101-5d3b4d8f.pth`` encoder (models/backbone/resnet.py:149-158).
+This module maps those state_dicts onto pylc_tpu's flax parameter trees
+(and back) so converted checkpoints produce identical logits:
+
+  - conv kernels:  torch OIHW -> flax HWIO (depthwise: OIHW with I=1 ->
+    HWIO with O=multiplier);
+  - BatchNorm:     weight/bias -> scale/bias (params) and
+    running_mean/var -> mean/var (batch_stats);
+  - the reference pickle's ``meta`` (a config.Parameters instance) is
+    unpickled against a stub class — reference code is never imported.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import re
+import sys
+import types
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------- #
+# safe-ish unpickling of reference checkpoints
+# --------------------------------------------------------------------- #
+
+class _StubParameters:
+    """Attribute-bag stand-in for the reference's config.Parameters so
+    its pickles load without importing reference code."""
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
+def load_reference_pth(path: str) -> Dict[str, Any]:
+    """torch.load a reference .pth with config.Parameters stubbed out.
+
+    Returns the raw dict (state_dict tensors stay torch CPU tensors).
+    """
+    import torch
+
+    stub = types.ModuleType("config")
+    stub.Parameters = _StubParameters
+    had = sys.modules.get("config")
+    sys.modules["config"] = stub
+    try:
+        data = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        if had is not None:
+            sys.modules["config"] = had
+        else:
+            del sys.modules["config"]
+    return data
+
+
+def _t2n(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy())
+
+
+def _conv_kernel(t, depthwise: bool = False) -> np.ndarray:
+    """torch conv weight -> flax kernel.
+
+    standard: OIHW -> HWIO.  depthwise (torch groups=C, shape [C,1,H,W])
+    -> flax feature_group_count kernel [H, W, 1, C]."""
+    w = _t2n(t)
+    if depthwise:
+        return w.transpose(2, 3, 1, 0)
+    return w.transpose(2, 3, 1, 0)
+
+
+# --------------------------------------------------------------------- #
+# state_dict -> nested tree assembly
+# --------------------------------------------------------------------- #
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    d = tree
+    for p in path[:-1]:
+        d = d.setdefault(p, {})
+    d[path[-1]] = value
+
+
+def _put_bn(params: Dict, stats: Dict, flax_path: Tuple[str, ...],
+            sd: Dict, torch_prefix: str):
+    _set(params, flax_path + ("scale",), _t2n(sd[torch_prefix + ".weight"]))
+    _set(params, flax_path + ("bias",), _t2n(sd[torch_prefix + ".bias"]))
+    _set(stats, flax_path + ("mean",),
+         _t2n(sd[torch_prefix + ".running_mean"]))
+    _set(stats, flax_path + ("var",),
+         _t2n(sd[torch_prefix + ".running_var"]))
+
+
+def _put_conv(params: Dict, flax_path: Tuple[str, ...], sd: Dict,
+              torch_prefix: str, depthwise: bool = False):
+    _set(params, flax_path + ("kernel",),
+         _conv_kernel(sd[torch_prefix + ".weight"], depthwise))
+    if torch_prefix + ".bias" in sd:
+        _set(params, flax_path + ("bias",), _t2n(sd[torch_prefix + ".bias"]))
+
+
+def convert_resnet_backbone(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """Reference ResNet101 state_dict (models/backbone/resnet.py naming)
+    -> (params, batch_stats) subtrees for pylc_tpu ResNet101."""
+    p: Dict = {}
+    s: Dict = {}
+    _put_conv(p, ("conv1",), sd, prefix + "conv1")
+    _put_bn(p, s, ("bn1",), sd, prefix + "bn1")
+
+    # layers: torch 'layerL.<i>.convK/bnK(+downsample.0/1)'
+    pat = re.compile(re.escape(prefix) + r"layer(\d)\.(\d+)\.")
+    blocks = sorted({(int(m.group(1)), int(m.group(2)))
+                     for k in sd for m in [pat.match(k)] if m})
+    for L, i in blocks:
+        tp = f"{prefix}layer{L}.{i}."
+        fp = f"layer{L}_{i}"
+        for k in (1, 2, 3):
+            _put_conv(p, (fp, f"conv{k}"), sd, tp + f"conv{k}")
+            _put_bn(p, s, (fp, f"bn{k}"), sd, tp + f"bn{k}")
+        if tp + "downsample.0.weight" in sd:
+            _put_conv(p, (fp, "downsample_conv"), sd, tp + "downsample.0")
+            _put_bn(p, s, (fp, "downsample_bn"), sd, tp + "downsample.1")
+    return p, s
+
+
+def _convert_separable(p: Dict, s: Dict, flax_path: Tuple[str, ...],
+                       sd: Dict, torch_prefix: str):
+    """SeparableConv2d: conv1 (depthwise) + bn + pointwise
+    (models/backbone/xception.py:25-39)."""
+    _put_conv(p, flax_path + ("depthwise",), sd, torch_prefix + ".conv1",
+              depthwise=True)
+    _put_bn(p, s, flax_path + ("bn",), sd, torch_prefix + ".bn")
+    _put_conv(p, flax_path + ("pointwise",), sd, torch_prefix + ".pointwise")
+
+
+def convert_xception_backbone(sd: Dict, prefix: str = ""
+                              ) -> Tuple[Dict, Dict]:
+    """Reference AlignedXception state_dict -> pylc_tpu subtrees."""
+    p: Dict = {}
+    s: Dict = {}
+    _put_conv(p, ("conv1",), sd, prefix + "conv1")
+    _put_bn(p, s, ("bn1",), sd, prefix + "bn1")
+    _put_conv(p, ("conv2",), sd, prefix + "conv2")
+    _put_bn(p, s, ("bn2",), sd, prefix + "bn2")
+
+    # blocks 1..20: walk 'blockN.rep.<i>' modules in index order; each
+    # index is either a SeparableConv2d ('.pointwise.' keys) or a BN.
+    for n in range(1, 21):
+        bp = f"{prefix}block{n}."
+        idxs = sorted({int(m.group(1))
+                       for k in sd if k.startswith(bp + "rep.")
+                       for m in [re.match(re.escape(bp) + r"rep\.(\d+)\.", k)]
+                       if m})
+        sep_i = 0
+        bn_i = 0
+        for i in idxs:
+            tp = f"{bp}rep.{i}"
+            if tp + ".pointwise.weight" in sd:
+                _convert_separable(p, s, (f"block{n}", f"sep{sep_i}"),
+                                   sd, tp)
+                sep_i += 1
+            elif tp + ".running_mean" in sd:
+                _put_bn(p, s, (f"block{n}", f"sepbn{bn_i}"), sd, tp)
+                bn_i += 1
+        if bp + "skip.weight" in sd:
+            _put_conv(p, (f"block{n}", "skip"), sd, bp + "skip")
+            _put_bn(p, s, (f"block{n}", "skipbn"), sd, bp + "skipbn")
+
+    for i in (3, 4, 5):
+        _convert_separable(p, s, (f"conv{i}",), sd, f"{prefix}conv{i}")
+        _put_bn(p, s, (f"bn{i}",), sd, f"{prefix}bn{i}")
+    return p, s
+
+
+def convert_deeplab_state_dict(sd: Dict, backbone: str = "resnet"
+                               ) -> Tuple[Dict, Dict]:
+    """Full reference DeepLab state_dict -> (params, batch_stats) trees
+    matching pylc_tpu.models.deeplab.DeepLab's flax naming."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    if backbone == "resnet":
+        bb_p, bb_s = convert_resnet_backbone(sd, "backbone.")
+    else:
+        bb_p, bb_s = convert_xception_backbone(sd, "backbone.")
+    params["backbone"] = bb_p
+    stats["backbone"] = bb_s
+
+    ap: Dict = {}
+    as_: Dict = {}
+    for i in (1, 2, 3, 4):
+        _put_conv(ap, (f"aspp{i}", "conv"), sd, f"aspp.aspp{i}.atrous_conv")
+        _put_bn(ap, as_, (f"aspp{i}", "bn"), sd, f"aspp.aspp{i}.bn")
+    _put_conv(ap, ("gap_conv",), sd, "aspp.global_avg_pool.1")
+    _put_bn(ap, as_, ("gap_bn",), sd, "aspp.global_avg_pool.2")
+    _put_conv(ap, ("proj",), sd, "aspp.conv1")
+    _put_bn(ap, as_, ("proj_bn",), sd, "aspp.bn1")
+    params["aspp"] = ap
+    stats["aspp"] = as_
+
+    dp: Dict = {}
+    ds: Dict = {}
+    _put_conv(dp, ("ll_conv",), sd, "decoder.conv1")
+    _put_bn(dp, ds, ("ll_bn",), sd, "decoder.bn1")
+    _put_conv(dp, ("conv1",), sd, "decoder.last_conv.0")
+    _put_bn(dp, ds, ("bn1",), sd, "decoder.last_conv.1")
+    _put_conv(dp, ("conv2",), sd, "decoder.last_conv.4")
+    _put_bn(dp, ds, ("bn2",), sd, "decoder.last_conv.5")
+    _put_conv(dp, ("head",), sd, "decoder.last_conv.8")
+    params["decoder"] = dp
+    stats["decoder"] = ds
+    return params, stats
+
+
+# --------------------------------------------------------------------- #
+# high-level loaders
+# --------------------------------------------------------------------- #
+
+def load_pth_model(model_path: str, base_cfg=None):
+    """Load a published pylc .pth DeepLab model -> (cfg, state, predict).
+
+    The checkpoint's pickled meta rehydrates the config (arch, ch,
+    schema palette, normalization stats) exactly as the reference does
+    at models/model.py:100-115."""
+    import jax
+
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_predict
+    from pylc_tpu.models.registry import build_model
+
+    data = load_reference_pth(model_path)
+    assert "model" in data, "Loaded model missing 'model' state_dict."
+    meta_obj = data.get("meta")
+    meta = dict(meta_obj.__dict__) if hasattr(meta_obj, "__dict__") else \
+        (meta_obj or {})
+    cfg = Config.from_meta(meta, base=base_cfg)
+    if cfg.arch != "deeplab":
+        raise NotImplementedError(
+            f".pth conversion implemented for deeplab (got {cfg.arch}); "
+            "the reference cannot construct UNet/ResUNet checkpoints "
+            "(see docs/DEVIATIONS.md F1/F2).")
+
+    sd = data["model"]
+    params, stats = convert_deeplab_state_dict(sd, cfg.backbone)
+
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    state = _graft(state, params, stats)
+    model_eval = build_model(cfg, train=False)
+    return cfg, state, make_predict(cfg, model_eval)
+
+
+def load_resnet101_imagenet(pth_path: str, state):
+    """Overlay ImageNet resnet101 weights onto a DeepLab state's backbone
+    (key-filtered like reference models/backbone/resnet.py:149-158)."""
+    data = load_reference_pth(pth_path)
+    sd = data if isinstance(data, dict) and "conv1.weight" in data else \
+        data.get("state_dict", data)
+    # drop the fc head; keep conv/bn keys that exist in our tree
+    sd = {k: v for k, v in sd.items() if not k.startswith("fc.")}
+    params, stats = convert_resnet_backbone(sd, "")
+    return _graft_subtree(state, ("backbone",), params, stats)
+
+
+def _merge(dst: Dict, src: Dict, path=""):
+    """Recursively overlay src onto dst, checking shapes."""
+    for k, v in src.items():
+        if isinstance(v, dict):
+            if k not in dst:
+                raise KeyError(f"Unknown module '{path}/{k}' in conversion.")
+            _merge(dst[k], v, f"{path}/{k}")
+        else:
+            if k not in dst:
+                raise KeyError(f"Unknown param '{path}/{k}'.")
+            if tuple(dst[k].shape) != tuple(v.shape):
+                raise ValueError(
+                    f"Shape mismatch at {path}/{k}: "
+                    f"{dst[k].shape} vs {v.shape}")
+            dst[k] = v.astype(np.asarray(dst[k]).dtype)
+
+
+def _graft(state, params: Dict, stats: Dict):
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, jax.device_get(
+        jax.tree_util.tree_map(lambda x: x, state.params)))
+    s = jax.device_get(state.batch_stats)
+    p = _unfreeze(p)
+    s = _unfreeze(s)
+    _merge(p, params)
+    _merge(s, stats)
+    return state.replace(params=p, batch_stats=s)
+
+
+def _graft_subtree(state, path: Tuple[str, ...], params: Dict, stats: Dict):
+    import jax
+    p = _unfreeze(jax.device_get(state.params))
+    s = _unfreeze(jax.device_get(state.batch_stats))
+    dp = p
+    ds = s
+    for key in path:
+        dp = dp[key]
+        ds = ds[key]
+    _merge(dp, params)
+    _merge(ds, stats)
+    return state.replace(params=p, batch_stats=s)
+
+
+def _unfreeze(tree):
+    if hasattr(tree, "unfreeze"):
+        tree = tree.unfreeze()
+    if isinstance(tree, dict):
+        return {k: _unfreeze(v) for k, v in tree.items()}
+    return tree
+
+
+# --------------------------------------------------------------------- #
+# export (jax -> .pth)
+# --------------------------------------------------------------------- #
+
+def export_deeplab_pth(state, cfg, out_path: str, backbone: str = "resnet"):
+    """Write a reference-schema .pth ({'model': state_dict, 'meta': dict})
+    from a pylc_tpu DeepLab state, inverting the conversion maps."""
+    import torch
+
+    params = _unfreeze(_to_np(state.params))
+    stats = _unfreeze(_to_np(state.batch_stats))
+    sd: Dict[str, Any] = {}
+
+    def put_conv(torch_key, arr, depthwise=False):
+        if depthwise:
+            sd[torch_key + ".weight"] = torch.tensor(
+                arr.transpose(3, 2, 0, 1))
+        else:
+            sd[torch_key + ".weight"] = torch.tensor(
+                arr.transpose(3, 2, 0, 1))
+
+    def put_bias(torch_key, arr):
+        sd[torch_key + ".bias"] = torch.tensor(arr)
+
+    def put_bn(torch_key, p_sub, s_sub):
+        sd[torch_key + ".weight"] = torch.tensor(p_sub["scale"])
+        sd[torch_key + ".bias"] = torch.tensor(p_sub["bias"])
+        sd[torch_key + ".running_mean"] = torch.tensor(s_sub["mean"])
+        sd[torch_key + ".running_var"] = torch.tensor(s_sub["var"])
+
+    # backbone (resnet only for now)
+    bp, bs = params["backbone"], stats["backbone"]
+    put_conv("backbone.conv1", bp["conv1"]["kernel"])
+    put_bn("backbone.bn1", bp["bn1"], bs["bn1"])
+    for name in sorted(k for k in bp if k.startswith("layer")):
+        L, i = name.replace("layer", "").split("_")
+        tp = f"backbone.layer{L}.{i}"
+        for k in (1, 2, 3):
+            put_conv(f"{tp}.conv{k}", bp[name][f"conv{k}"]["kernel"])
+            put_bn(f"{tp}.bn{k}", bp[name][f"bn{k}"], bs[name][f"bn{k}"])
+        if "downsample_conv" in bp[name]:
+            put_conv(f"{tp}.downsample.0",
+                     bp[name]["downsample_conv"]["kernel"])
+            put_bn(f"{tp}.downsample.1", bp[name]["downsample_bn"],
+                   bs[name]["downsample_bn"])
+
+    ap, as_ = params["aspp"], stats["aspp"]
+    for i in (1, 2, 3, 4):
+        put_conv(f"aspp.aspp{i}.atrous_conv", ap[f"aspp{i}"]["conv"]["kernel"])
+        put_bn(f"aspp.aspp{i}.bn", ap[f"aspp{i}"]["bn"], as_[f"aspp{i}"]["bn"])
+    put_conv("aspp.global_avg_pool.1", ap["gap_conv"]["kernel"])
+    put_bn("aspp.global_avg_pool.2", ap["gap_bn"], as_["gap_bn"])
+    put_conv("aspp.conv1", ap["proj"]["kernel"])
+    put_bn("aspp.bn1", ap["proj_bn"], as_["proj_bn"])
+
+    dp, ds = params["decoder"], stats["decoder"]
+    put_conv("decoder.conv1", dp["ll_conv"]["kernel"])
+    put_bn("decoder.bn1", dp["ll_bn"], ds["ll_bn"])
+    put_conv("decoder.last_conv.0", dp["conv1"]["kernel"])
+    put_bn("decoder.last_conv.1", dp["bn1"], ds["bn1"])
+    put_conv("decoder.last_conv.4", dp["conv2"]["kernel"])
+    put_bn("decoder.last_conv.5", dp["bn2"], ds["bn2"])
+    put_conv("decoder.last_conv.8", dp["head"]["kernel"])
+    put_bias("decoder.last_conv.8", dp["head"]["bias"])
+
+    torch.save({"model": sd, "meta": cfg.to_meta()}, out_path)
+    return out_path
+
+
+def _to_np(tree):
+    import jax
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

@@ -62,17 +62,23 @@ class TileDB:
 
     # ------------------------------------------------------------------ #
 
-    def get_meta(self, base: Optional[Config] = None) -> Config:
+    def get_meta(self, base: Optional[Config] = None,
+                 data_only: bool = False) -> Config:
         """Metadata attribute -> Config (pure round-trip; the reference
-        instead mutates the global singleton, db/database.py:164)."""
+        instead mutates the global singleton, db/database.py:164).
+
+        data_only=True applies only DATA_META_FIELDS so DB metadata
+        cannot override user-chosen network settings in ``base``."""
+        from pylc_tpu.config import DATA_META_FIELDS
+        fields = DATA_META_FIELDS if data_only else None
         if self.path:
             with h5py.File(self.path, "r") as f:
                 attr = f.attrs.get("meta")
-            return Config.from_meta_json(attr, base)
+            return Config.from_meta_json(attr, base, fields)
         meta = self.data["meta"]
         if isinstance(meta, Config):
             return meta
-        return Config.from_meta(meta, base)
+        return Config.from_meta(meta, base, fields)
 
     def read_chunk(self, start: int, end: int
                    ) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,100 @@
+"""Host->HBM feeding pipeline with background prefetch.
+
+Replaces the reference's torch IterableDataset + chunk Buffer + worker
+processes (db/dataset.py:23-174, db/buffer.py:21-97).  Design:
+
+  - the HDF5 read of chunk k+1 runs on a background thread while the
+    device computes on chunk k (double buffering across the host/HBM
+    boundary);
+  - batching happens on contiguous chunk views (no per-sample Python
+    loop — the reference moves one tile at a time through Buffer.__next__);
+  - optional co-shuffle per chunk with an explicit seed (the reference
+    shuffles with ambient numpy state, utils/tools.py:361-385);
+  - batches are uint8 end-to-end; normalization happens inside the
+    jitted step on device.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from pylc_tpu.config import Config
+from pylc_tpu.db.database import TileDB
+
+
+class TileDataset:
+    """Batched iterator over a TileDB partition."""
+
+    def __init__(self, db: TileDB, batch_size: int = 8,
+                 shuffle: bool = False, drop_last: bool = True,
+                 chunk_size: int = 1000, seed: int = 0,
+                 shard: Tuple[int, int] = (0, 1),
+                 prefetch: int = 2):
+        self.db = db
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.chunk_size = chunk_size
+        self.seed = seed
+        self.shard = shard
+        self.prefetch = prefetch
+        self.size = db.partition_size
+        self._epoch = 0
+
+    @property
+    def n_batches(self) -> int:
+        return self.size // self.batch_size if self.drop_last else \
+            -(-self.size // self.batch_size)
+
+    def _chunk_iter(self, rng: Optional[np.random.Generator]):
+        for imgs, masks in self.db.iter_chunks(self.chunk_size, self.shard):
+            if rng is not None:
+                perm = rng.permutation(len(imgs))
+                imgs, masks = imgs[perm], masks[perm]
+            yield imgs, masks
+
+    def _prefetched(self, it):
+        """Run the HDF5 chunk reads on a background thread."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for item in it:
+                    q.put(item)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self._epoch) \
+            if self.shuffle else None
+        self._epoch += 1
+        leftover_img = leftover_mask = None
+        for imgs, masks in self._prefetched(self._chunk_iter(rng)):
+            if leftover_img is not None:
+                imgs = np.concatenate([leftover_img, imgs])
+                masks = np.concatenate([leftover_mask, masks])
+                leftover_img = leftover_mask = None
+            n_full = (len(imgs) // self.batch_size) * self.batch_size
+            for s in range(0, n_full, self.batch_size):
+                yield imgs[s:s + self.batch_size], masks[s:s + self.batch_size]
+            if n_full < len(imgs):
+                leftover_img = imgs[n_full:]
+                leftover_mask = masks[n_full:]
+        if leftover_img is not None and not self.drop_last:
+            yield leftover_img, leftover_mask
+
+    def get_meta(self, base: Optional[Config] = None) -> Config:
+        return self.db.get_meta(base)

@@ -24,9 +24,11 @@ def build_model(cfg: Config, train: bool = False,
 
     if cfg.arch == "unet":
         return UNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode,
-                    dropout=cfg.dropout, norm=norm, act=act)
+                    dropout=cfg.dropout, norm=norm, act=act,
+                    depth=cfg.unet_depth, wf=cfg.unet_wf)
     if cfg.arch == "resunet":
-        return ResUNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode, act=act)
+        return ResUNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode, act=act,
+                       depth=cfg.unet_depth, wf=cfg.unet_wf)
     if cfg.arch == "deeplab":
         return DeepLab(n_classes=cfg.n_classes, backbone=cfg.backbone,
                        norm=norm)

@@ -1,0 +1,103 @@
+"""Test mode: apply a trained model to images -> masks + metrics.
+
+Flow parity with reference test.py:23-115: load model (meta rides in the
+checkpoint), collate image(+mask) files, per image fit/tile/infer/stitch,
+save colour mask PNG, evaluate vs ground truth, optional logits dump and
+aggregate metrics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+
+from pylc_tpu.checkpoint import load_model_file
+from pylc_tpu.config import Config
+from pylc_tpu.evaluate import Evaluator
+from pylc_tpu.infer import Segmenter
+from pylc_tpu.train_state import init_state, make_predict
+from pylc_tpu.models.registry import build_model
+from pylc_tpu.utils.imageio import collate
+
+
+def load_model(model_path: str, base_cfg: Optional[Config] = None):
+    """Load a model artifact (.ckpt native; .pth via the converter).
+
+    Returns (cfg, state, predict_fn)."""
+    if not model_path or not os.path.exists(model_path):
+        raise FileNotFoundError(f"Model file {model_path} does not exist.")
+
+    if model_path.endswith(".pth"):
+        from pylc_tpu.convert import load_pth_model
+        return load_pth_model(model_path, base_cfg)
+
+    import json
+    meta_path = model_path + ".meta"
+    cfg = base_cfg or Config()
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            cfg = Config.from_meta(json.load(f), base=cfg)
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    state, meta = load_model_file(model_path, state)
+    if meta:
+        cfg = Config.from_meta(meta, base=cfg)
+    model_eval = build_model(cfg, train=False)
+    return cfg, state, make_predict(cfg, model_eval)
+
+
+def test(cfg: Config, model_path: str, img_path: str,
+         mask_path: Optional[str] = None, scale: Optional[float] = None,
+         save_logits: bool = False, aggregate_metrics: bool = False,
+         use_crf: bool = False, verbose: bool = True) -> List[dict]:
+    """Run the full test pipeline over one or more images."""
+    cfg, state, predict = load_model(model_path, cfg)
+    cfg.id = cfg.id or cfg.gen_model_id()
+
+    crf = None
+    if use_crf:
+        from pylc_tpu.ops.crf import make_crf
+        crf = make_crf(cfg)
+
+    seg = Segmenter(cfg, state, predict, batch_size=8, crf=crf)
+    evaluator = Evaluator(cfg)
+    files = collate(img_path, mask_path)
+    results = []
+
+    for fpair in files:
+        if isinstance(fpair, dict):
+            img_file, mask_file = fpair["img"], fpair["mask"]
+        else:
+            img_file, mask_file = fpair, None
+
+        res = seg.segment_file(img_file, scale=scale)
+        fid = res["extract"]["fid"]
+        if verbose:
+            mp = res["megapixels"]
+            print(f"  {fid}: {mp:.1f} MP in {res['seconds']:.3f}s "
+                  f"({mp / res['seconds']:.1f} MP/s)")
+
+        evaluator.load(res["mask_rgb"], fid, mask_true_path=mask_file,
+                       scale=scale)
+        evaluator.save_image()
+        if mask_file and not aggregate_metrics:
+            evaluator.evaluate()
+            evaluator.save_metrics()
+            if verbose:
+                m = evaluator.metrics.results
+                print(f"    F1 {m['f1']:.4f}  IoU {m['iou']:.4f}  "
+                      f"MCC {m['mcc']:.4f}")
+        if save_logits:
+            evaluator.save_logits(res["class_map"])
+        results.append({"fid": fid, "seconds": res["seconds"],
+                        "megapixels": res["megapixels"],
+                        "metrics": dict(evaluator.metrics.results)})
+        evaluator.reset()
+
+    if aggregate_metrics:
+        evaluator.evaluate(aggregate=True)
+        evaluator.save_metrics()
+        results.append({"fid": "aggregate",
+                        "metrics": dict(evaluator.metrics.results)})
+    return results

@@ -1,0 +1,154 @@
+"""Training loop: epochs over a tile DB with validation + checkpointing.
+
+Loop parity with reference train.py:22-174 — train/valid partitions
+(0, 0.8)/(0.8, 1.0), initial validation at epoch 0, per-epoch validate +
+checkpoint, best-model gating on mean val Dice — rebuilt around one
+jitted SPMD train step:
+
+  - batches are sharded over the mesh 'data' axis (gradient all-reduce
+    and global BN stats come from GSPMD);
+  - the LR schedule is a function of the step counter traced into the
+    program (the reference steps a host-side scheduler per epoch);
+  - the host loop only feeds uint8 batches and pulls metrics every
+    ``report`` steps (the reference syncs losses to host every batch).
+
+Fixed vs reference (docs/DEVIATIONS.md): resume epoch range — the
+reference trains ``range(epoch_offset, n_epochs - epoch_offset)``
+(train.py:72), silently shrinking total epochs by 2x the offset; here a
+resumed run completes exactly ``n_epochs``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from pylc_tpu.checkpoint import Checkpoint, RunningLoss
+from pylc_tpu.config import Config
+from pylc_tpu.db.database import TileDB
+from pylc_tpu.db.dataset import TileDataset
+from pylc_tpu.parallel.mesh import batch_sharding, get_mesh
+from pylc_tpu.train_state import (
+    init_state, make_eval_step, make_lr_schedule, make_train_step,
+)
+from pylc_tpu.models.registry import build_model
+
+
+def _pad_to(batch, n):
+    """Pad the batch's leading dim up to a multiple of n (repeat-edge) so
+    it shards evenly over the mesh."""
+    b = batch.shape[0]
+    if b % n == 0:
+        return batch
+    pad = n - b % n
+    return np.concatenate([batch, batch[-pad:]], axis=0)
+
+
+def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
+          verbose: bool = True) -> dict:
+    """Run the full training job. Returns summary dict."""
+    # datasets (partition fractions per reference train.py:37-46)
+    part = cfg.partition
+    tr_db = TileDB(db_path, partition=(0.0, 1.0 - part), clip=cfg.clip)
+    va_db = TileDB(db_path, partition=(1.0 - part, 1.0), clip=cfg.clip)
+
+    # metadata rehydration: DB data facts -> config (pure, no global
+    # mutation; user-chosen network settings like --arch win over DB meta)
+    cfg = tr_db.get_meta(base=cfg, data_only=True)
+    model_id = cfg.gen_model_id()
+    cfg.id = model_id
+
+    mesh = get_mesh(n_devices)
+    n_mesh = mesh.devices.size
+    batch = max(cfg.batch_size, n_mesh)
+
+    tr_ds = TileDataset(tr_db, batch_size=batch, shuffle=True,
+                        drop_last=True, chunk_size=cfg.buffer_size)
+    va_ds = TileDataset(va_db, batch_size=batch, shuffle=False,
+                        drop_last=True, chunk_size=cfg.buffer_size)
+    steps_per_epoch = max(1, tr_ds.n_batches)
+
+    # model + state
+    rng = jax.random.PRNGKey(0)
+    state, model = init_state(cfg, rng, steps_per_epoch)
+    model_eval = build_model(cfg, train=False)
+    train_step = make_train_step(cfg, model)
+    eval_step = make_eval_step(cfg, model_eval)
+    lr_sched = make_lr_schedule(cfg, steps_per_epoch)
+
+    ckpt = Checkpoint(model_id, cfg.save_dir)
+    loss = RunningLoss(model_id, cfg.save_dir, resume=cfg.resume_checkpoint)
+
+    epoch0 = 0
+    if cfg.resume_checkpoint:
+        restored = ckpt.load(state)
+        if restored is not None:
+            state = restored["state"]
+            epoch0 = restored["epoch"]
+            if verbose:
+                print(f"Resumed from epoch {epoch0} "
+                      f"(iter {int(state.step)}).")
+    else:
+        ckpt.reset()
+
+    sharding = batch_sharding(mesh, 4)
+    mask_sharding = batch_sharding(mesh, 3)
+
+    def put(img, mask):
+        img = _pad_to(img, n_mesh)
+        mask = _pad_to(mask, n_mesh)
+        return (jax.device_put(img, sharding),
+                jax.device_put(mask, mask_sharding))
+
+    def validate(state, it, epoch):
+        """Validate + checkpoint (the reference saves at every
+        validation, train.py:146-151)."""
+        for img, mask in va_ds:
+            metrics = eval_step(state, *put(img, mask))
+            loss.push(jax.device_get(metrics))
+        loss.log(it, training=False)
+        ckpt.save(state, cfg, epoch, is_best=loss.is_best)
+        loss.save()
+        if verbose:
+            print(loss.status("valid"))
+
+    t_start = time.time()
+    step_rng = jax.random.PRNGKey(1234)
+    for epoch in range(epoch0, cfg.n_epochs):
+        if verbose:
+            lr_now = float(lr_sched(state.step))
+            print(f"\nEpoch {epoch + 1}/{cfg.n_epochs}  "
+                  f"(steps/epoch {steps_per_epoch}, lr {lr_now:.2e}, "
+                  f"mesh {n_mesh})")
+        loss.lr.append((int(state.step), float(lr_sched(state.step))))
+
+        if epoch == epoch0:
+            validate(state, int(state.step), epoch)
+
+        for img, mask in tr_ds:
+            step_rng, sub = jax.random.split(step_rng)
+            state, metrics = train_step(state, *put(img, mask), sub)
+            it = int(state.step)
+            loss.push(jax.device_get(metrics))
+            if it % cfg.report == 0:
+                loss.log(it, training=True)
+                loss.save()
+                if verbose:
+                    print(f"  step {it}: {loss.status('train')}")
+        loss.log(int(state.step), training=True)
+
+        validate(state, int(state.step), epoch + 1)
+
+    dt = time.time() - t_start
+    return {
+        "model_id": model_id,
+        "epochs": cfg.n_epochs - epoch0,
+        "steps": int(state.step),
+        "best_dice": loss.best_dice,
+        "wall_s": dt,
+        "state": state,
+        "config": cfg,
+    }

@@ -1,0 +1,139 @@
+"""End-to-end slice: extract -> train -> test on synthetic data.
+
+Exercises the full pipeline the way the reference's Colab notebook does
+manually (SURVEY.md §4): synthetic image/mask pairs on disk, tile
+extraction to an HDF5 DB, a short U-Net training run, then full-image
+inference with stitching and evaluation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pylc_tpu.config import Config, Schema, DEFAULT_SCHEMA
+
+
+TILE = 64
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return Config().replace(
+        tile_size=TILE, stride=TILE, input_size=TILE, output_size=24,
+        unet_depth=3, unet_wf=3, arch="unet", ch=3, batch_size=4,
+        n_epochs=1, buffer_size=64, dropout=0.0, report=4,
+    )
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    """Four 256x192 synthetic images + palette-exact masks on disk."""
+    import cv2
+    root = tmp_path_factory.mktemp("data")
+    img_dir = root / "images"
+    mask_dir = root / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    schema = Schema.load(DEFAULT_SCHEMA)
+    palette = np.array(schema.palette_rgb, dtype=np.uint8)
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        H, W = 192, 256
+        img = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+        # mask: vertical class bands -> exact palette colours
+        classes = (np.arange(W) * schema.n_classes // W)
+        cmap = np.broadcast_to(classes, (H, W)).astype(np.uint8)
+        mask = palette[cmap]
+        cv2.imwrite(str(img_dir / f"img{i}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 100])
+        cv2.imwrite(str(mask_dir / f"img{i}.png"),
+                    cv2.cvtColor(mask, cv2.COLOR_RGB2BGR))
+    return str(img_dir), str(mask_dir), str(root)
+
+
+@pytest.fixture(scope="module")
+def extracted_db(synthetic_dataset, tiny_cfg):
+    from pylc_tpu.extract import Extractor
+    img_dir, mask_dir, root = synthetic_dataset
+    ex = Extractor(tiny_cfg).load(img_dir, mask_dir)
+    ex.extract(verbose=False).coshuffle().profile()
+    path = ex.save(os.path.join(root, "db"))
+    return path, root
+
+
+def test_extract_creates_db_with_meta(extracted_db, tiny_cfg):
+    from pylc_tpu.db.database import TileDB
+    path, _ = extracted_db
+    db = TileDB(path)
+    meta = db.get_meta(base=tiny_cfg)
+    # 4 images of 256x192 at tile 64 -> 4 * 4*3 = 48 tiles
+    assert db.size == 48
+    assert db.img_shape[1:] == (3, TILE, TILE)
+    assert db.mask_shape[1:] == (TILE, TILE)
+    assert meta.n_samples == 48
+    assert len(meta.weights) == meta.n_classes
+    assert meta.px_mean is not None
+    # mask encoding sanity: class ids within range
+    imgs, masks = db.read_chunk(0, 8)
+    assert masks.max() < meta.n_classes
+
+
+def test_train_and_infer_e2e(extracted_db, tiny_cfg, tmp_path):
+    from pylc_tpu.trainer import train
+    from pylc_tpu.tester import test as run_test
+    path, root = extracted_db
+    cfg = tiny_cfg.replace(
+        save_dir=str(tmp_path / "save"), output_dir=str(tmp_path / "out"))
+    summary = train(cfg, path, n_devices=1, verbose=False)
+    assert summary["steps"] > 0
+    assert np.isfinite(summary["best_dice"])
+
+    model_file = os.path.join(cfg.save_dir, summary["model_id"],
+                              summary["model_id"] + ".ckpt")
+    assert os.path.exists(model_file), "best-model checkpoint missing"
+
+    # full-image inference over one synthetic image + mask
+    img_dir = os.path.join(root.replace("db", ""), "")
+    results = run_test(
+        cfg, model_file,
+        img_path=os.path.join(os.path.dirname(path), "..", "images"),
+        mask_path=os.path.join(os.path.dirname(path), "..", "masks"),
+        scale=1.0, verbose=False)
+    assert len(results) == 4
+    for r in results[:1]:
+        assert "f1" in r["metrics"]
+        assert 0.0 <= r["metrics"]["f1"] <= 1.0
+    # mask artifact written
+    masks_dir = os.path.join(cfg.output_dir, cfg.gen_model_id(), "masks")
+    assert len(os.listdir(masks_dir)) == 4
+
+
+def test_checkpoint_resume_runs_full_epochs(extracted_db, tiny_cfg,
+                                            tmp_path):
+    """Resume must complete exactly n_epochs (the reference's
+    range(offset, n-offset) bug shrank it, train.py:72)."""
+    from pylc_tpu.trainer import train
+    path, _ = extracted_db
+    cfg = tiny_cfg.replace(
+        save_dir=str(tmp_path / "save2"), output_dir=str(tmp_path / "out2"),
+        n_epochs=1)
+    train(cfg, path, n_devices=1, verbose=False)
+    # resume for one more epoch
+    cfg2 = cfg.replace(n_epochs=2, resume_checkpoint=True)
+    summary = train(cfg2, path, n_devices=1, verbose=False)
+    assert summary["epochs"] == 1  # epochs run after resume = 2 - 1
+
+
+def test_db_meta_does_not_stomp_cli_arch(extracted_db, tiny_cfg):
+    """Regression: --arch chosen at train time must survive metadata
+    rehydration from a DB extracted under a different default arch."""
+    from pylc_tpu.db.database import TileDB
+    path, _ = extracted_db
+    base = tiny_cfg.replace(arch="resunet", backbone="xception")
+    cfg = TileDB(path).get_meta(base=base, data_only=True)
+    assert cfg.arch == "resunet"          # user setting preserved
+    assert cfg.backbone == "xception"
+    assert cfg.n_samples == 48            # data facts rehydrated
+    assert cfg.px_mean is not None

@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from pylc_tpu.models.layers import resize_bilinear_align_corners
+from pylc_tpu.models.unet import UNet
+from pylc_tpu.models.res_unet import ResUNet
+
+
+def _norm(train=True):
+    from functools import partial
+    return partial(nn.BatchNorm, use_running_average=not train,
+                   momentum=0.9, epsilon=1e-5)
+
+
+def test_resize_align_corners_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    x = rng.random((1, 7, 9, 3)).astype(np.float32)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 14, 18))
+    xt = torch.tensor(x).permute(0, 3, 1, 2)
+    want = F.interpolate(xt, size=(14, 18), mode="bilinear",
+                         align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_unet_valid_conv_geometry_512_to_324():
+    """The load-bearing 512 -> 324 geometry (reference config.py:228-236).
+    Uses jax.eval_shape so no convs actually run."""
+    model = UNet(n_classes=9, depth=5, wf=6, norm=_norm(False), act=nn.relu,
+                 dropout=0.0)
+    x = jnp.zeros((1, 512, 512, 1))
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False),
+        jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x,
+                                            train=False), x), x)
+    assert out.shape == (1, 324, 324, 9)
+
+
+def test_unet_tiny_forward_and_grad(rng):
+    model = UNet(n_classes=4, depth=3, wf=3, norm=_norm(True), act=nn.relu,
+                 dropout=0.1)
+    x = jnp.asarray(rng.random((2, 64, 64, 1)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    out, _ = model.apply(variables, x, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert out.shape == (2, 24, 24, 4)  # 64 -> 24 for depth 3
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_resunet_tiny_forward(rng):
+    model = ResUNet(n_classes=4, depth=3, wf=3, act=nn.relu)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 24, 24, 4)
+
+
+def test_resnet_backbone_tiny_forward(rng):
+    """Shrunk ResNet (1-1-1-MG blocks): checks the OS16 stride/dilation
+    wiring and low-level feature tap."""
+    from pylc_tpu.models import resnet as rn
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    backbone = rn.ResNet101(output_stride=16, norm=_norm(False),
+                            layers=(1, 1, 1, 1))
+    v = backbone.init(jax.random.PRNGKey(0), x)
+    feat, ll = backbone.apply(v, x)
+    assert feat.shape == (1, 4, 4, 2048)   # 64 / 16
+    assert ll.shape == (1, 16, 16, 256)    # 64 / 4
+
+
+def test_aspp_decoder_shapes(rng):
+    from pylc_tpu.models.aspp import ASPP
+    from pylc_tpu.models.deeplab import DeepLabDecoder
+
+    feat = jnp.asarray(rng.random((1, 4, 4, 2048)).astype(np.float32))
+    ll = jnp.asarray(rng.random((1, 16, 16, 256)).astype(np.float32))
+    aspp = ASPP(output_stride=16, norm=_norm(False))
+    v = aspp.init(jax.random.PRNGKey(0), feat, train=False)
+    y = aspp.apply(v, feat, train=False)
+    assert y.shape == (1, 4, 4, 256)
+    dec = DeepLabDecoder(n_classes=5, norm=_norm(False))
+    v = dec.init(jax.random.PRNGKey(0), y, ll, train=False)
+    out = dec.apply(v, y, ll, train=False)
+    assert out.shape == (1, 16, 16, 5)
+
+
+def test_xception_tiny_forward(rng):
+    from pylc_tpu.models.xception import AlignedXception
+    model = AlignedXception(output_stride=16, norm=_norm(False))
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    feat, ll = model.apply(v, x)
+    assert feat.shape == (1, 4, 4, 2048)
+    assert ll.shape == (1, 16, 16, 128)
