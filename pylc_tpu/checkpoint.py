@@ -143,14 +143,18 @@ class RunningLoss:
                 os.remove(self.log_file)
 
     def push(self, metrics: Dict[str, Any]):
-        self.intv.append((float(metrics["ce"]), float(metrics["dice"]),
-                          float(metrics["focal"])))
+        """Buffer one step's metrics.  Device scalars are stored as-is —
+        JAX's async dispatch keeps the accelerator pipeline full; the
+        host sync happens once per interval in log() (the reference
+        syncs losses to host every batch, models/model.py:319)."""
+        self.intv.append((metrics["ce"], metrics["dice"], metrics["focal"]))
 
     def log(self, iteration: int, training: bool):
         """Fold the interval buffer into an average; update best-dice on
         validation (reference loss.py:270-293)."""
         if not self.intv:
             return
+        self.intv = [tuple(float(x) for x in row) for row in self.intv]
         ce, dice, fl = (sum(v) / len(self.intv) for v in zip(*self.intv))
         self.avg_ce, self.avg_dice, self.avg_fl = ce, dice, fl
         self.intv = []

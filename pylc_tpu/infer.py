@@ -3,13 +3,13 @@ palette decode.  This is the benchmark surface (Megapixels/sec/chip).
 
 The reference runs this as host tiling -> per-batch device forward ->
 host sequential stitch -> Python-loop colourize (test.py:23-115,
-utils/tools.py:209-319).  Here the whole chain after decode is
-device-resident:
+utils/tools.py:209-319).  Here the whole chain after decode is ONE
+jitted XLA program per canvas shape (cached):
 
   host decode -> ONE device_put of the fitted image
     -> XLA unfold (layout moves only)
-    -> batched forward over the tile axis (MXU)
-    -> softmax + overlap-add stitch (k^2 shifted adds)
+    -> lax.scan of the batched forward over tile batches (MXU, bf16)
+    -> softmax + overlap-add stitch (k^2 shifted adds, no scatter)
     -> optional dense-CRF mean-field refinement
     -> argmax + palette LUT
   -> ONE device_get of the final [H, W, 3] uint8 mask.
@@ -23,8 +23,8 @@ stitching.  Recorded in docs/DEVIATIONS.md.
 
 from __future__ import annotations
 
-import functools
 import time
+from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -32,23 +32,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from pylc_tpu.config import Config
-from pylc_tpu.ops.palette import colourize
+from pylc_tpu.ops.palette import palette_lut
 from pylc_tpu.ops.tiles import grid_dims, stitch_probs, unfold_tiles
 from pylc_tpu.models.layers import resize_bilinear_align_corners
 from pylc_tpu.utils.imageio import adjust_to_tile, get_image
 
 
-def _pad_batch(tiles: jnp.ndarray, batch: int) -> Tuple[jnp.ndarray, int]:
-    n = tiles.shape[0]
-    n_pad = (-n) % batch
-    if n_pad:
-        tiles = jnp.concatenate(
-            [tiles, jnp.repeat(tiles[-1:], n_pad, axis=0)], axis=0)
-    return tiles, n
-
-
 class Segmenter:
-    """Batched tile->mask inference engine for one loaded model."""
+    """Batched tile->mask inference engine for one loaded model.
+
+    Compiles one fused program per (H, W, stride) canvas shape and
+    caches it, so repeated same-camera photographs (the 100-photo batch
+    pipeline) pay compilation once.
+    """
 
     def __init__(self, cfg: Config, state, predict_fn: Callable,
                  batch_size: int = 8, crf: Optional[Callable] = None):
@@ -57,28 +53,49 @@ class Segmenter:
         self.predict = predict_fn
         self.batch_size = batch_size
         self.crf = crf
-        self._infer_jit = None
+        self._cache: Dict[Tuple[int, int, int], Callable] = {}
 
     # ------------------------------------------------------------------ #
 
-    def _tile_logits(self, img_dev: jnp.ndarray, stride: int) -> jnp.ndarray:
-        """Unfold + batched forward. Returns [N, tile, tile, C] logits."""
+    def _build(self, H: int, W: int, stride: int) -> Callable:
         cfg = self.cfg
-        tiles = unfold_tiles(img_dev, cfg.tile_size, stride)  # [N,t,t,ch]
-        tiles, n_real = _pad_batch(tiles, self.batch_size)
-        n_batches = tiles.shape[0] // self.batch_size
-        tiles = tiles.reshape((n_batches, self.batch_size) + tiles.shape[1:])
+        tile = cfg.tile_size
+        n_rows, n_cols = grid_dims(W, H, tile, stride)
+        n_tiles = n_rows * n_cols
+        batch = self.batch_size
+        n_pad = (-n_tiles) % batch
+        n_batches = (n_tiles + n_pad) // batch
+        palette = palette_lut(cfg.palette_rgb)
+        crf = self.crf
 
-        def body(carry, batch_tiles):
-            logits = self.predict(self.state, batch_tiles)
-            if logits.shape[1] != cfg.tile_size:  # valid-conv U-Net
-                logits = resize_bilinear_align_corners(
-                    logits, cfg.tile_size, cfg.tile_size)
-            return carry, logits
+        @jax.jit
+        def run(state, img):
+            tiles = unfold_tiles(img, tile, stride)  # [N, t, t, ch]
+            if n_pad:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.repeat(tiles[-1:], n_pad, axis=0)], axis=0)
+            tiles = tiles.reshape((n_batches, batch) + tiles.shape[1:])
 
-        _, out = jax.lax.scan(body, 0, tiles)
-        out = out.reshape((-1,) + out.shape[2:])
-        return out[:n_real]
+            def body(carry, batch_tiles):
+                logits = self.predict(state, batch_tiles)
+                if logits.shape[1] != tile:  # valid-conv U-Net
+                    logits = resize_bilinear_align_corners(
+                        logits, tile, tile)
+                # softmax per tile inside the scan keeps live memory at
+                # one batch of logits instead of the full tile set
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return carry, probs
+
+            _, probs = jax.lax.scan(body, 0, tiles)
+            probs = probs.reshape((-1,) + probs.shape[2:])[:n_tiles]
+            canvas = stitch_probs(probs, n_rows, n_cols, tile, stride)
+            if crf is not None:
+                canvas = crf(canvas, img)
+            class_map = jnp.argmax(canvas, axis=-1).astype(jnp.uint8)
+            mask_rgb = jnp.take(palette, class_map.astype(jnp.int32), axis=0)
+            return mask_rgb, class_map, canvas
+
+        return run
 
     def segment_array(self, img: np.ndarray, stride: Optional[int] = None
                       ) -> Dict:
@@ -91,17 +108,13 @@ class Segmenter:
         if img.ndim == 2:
             img = img[..., None]
         H, W = img.shape[:2]
-        n_rows, n_cols = grid_dims(W, H, cfg.tile_size, stride)
+        key = (H, W, stride)
+        if key not in self._cache:
+            self._cache[key] = self._build(H, W, stride)
+        run = self._cache[key]
 
         t0 = time.perf_counter()
-        img_dev = jnp.asarray(img)  # single host->HBM transfer
-        logits = self._tile_logits(img_dev, stride)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        canvas = stitch_probs(probs, n_rows, n_cols, cfg.tile_size, stride)
-        if self.crf is not None:
-            canvas = self.crf(canvas, img_dev)
-        class_map = jnp.argmax(canvas, axis=-1).astype(jnp.uint8)
-        mask_rgb = colourize(class_map, cfg.palette_rgb)
+        mask_rgb, class_map, canvas = run(self.state, jnp.asarray(img))
         mask_rgb = np.asarray(mask_rgb)  # single device->host transfer
         dt = time.perf_counter() - t0
         return {
@@ -131,11 +144,11 @@ class Segmenter:
         res["mask_rgb"] = cv2.resize(
             res["mask_rgb"], (w_scaled, h_scaled),
             interpolation=cv2.INTER_NEAREST)
+        n_rows, n_cols = grid_dims(w_fit, h_fit, cfg.tile_size, stride)
         res["extract"] = {
             "fid": (img_path.split("/")[-1].replace(".", "_")
                     + "_scale_" + str(scale or cfg.scale)),
-            "n": grid_dims(w_fit, h_fit, cfg.tile_size, stride)[0] *
-                 grid_dims(w_fit, h_fit, cfg.tile_size, stride)[1],
+            "n": n_rows * n_cols,
             "w_full": w_full, "h_full": h_full,
             "w_scaled": w_scaled, "h_scaled": h_scaled,
             "w_fitted": w_fit, "h_fitted": h_fit, "offset": offset,

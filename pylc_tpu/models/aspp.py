@@ -15,7 +15,7 @@ pylc_tpu/ops/pallas/ (benchmark-gated).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,16 +25,18 @@ class ASPPBranch(nn.Module):
     kernel: int
     dilation: int
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         if self.kernel == 1:
-            x = nn.Conv(256, (1, 1), use_bias=False, name="conv")(x)
+            x = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv")(x)
         else:
             d = self.dilation
             x = nn.Conv(256, (3, 3), padding=[(d, d), (d, d)],
                         kernel_dilation=(d, d), use_bias=False,
-                        name="conv")(x)
+                        dtype=self.dtype, name="conv")(x)
         x = self.norm(name="bn")(x)
         return nn.relu(x)
 
@@ -43,25 +45,32 @@ class ASPP(nn.Module):
     output_stride: int = 16
     dropout: float = 0.5
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         dil: Sequence[int] = (1, 6, 12, 18) if self.output_stride == 16 \
             else (1, 12, 24, 36)
-        b1 = ASPPBranch(1, dil[0], self.norm, name="aspp1")(x)
-        b2 = ASPPBranch(3, dil[1], self.norm, name="aspp2")(x)
-        b3 = ASPPBranch(3, dil[2], self.norm, name="aspp3")(x)
-        b4 = ASPPBranch(3, dil[3], self.norm, name="aspp4")(x)
+        b1 = ASPPBranch(1, dil[0], self.norm, self.dtype,
+                        name="aspp1")(x)
+        b2 = ASPPBranch(3, dil[1], self.norm, self.dtype,
+                        name="aspp2")(x)
+        b3 = ASPPBranch(3, dil[2], self.norm, self.dtype,
+                        name="aspp3")(x)
+        b4 = ASPPBranch(3, dil[3], self.norm, self.dtype,
+                        name="aspp4")(x)
         # image-level pool branch: global mean -> 1x1 conv -> broadcast
         # (align_corners interp of a 1x1 map == broadcast)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = nn.Conv(256, (1, 1), use_bias=False, name="gap_conv")(g)
+        g = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="gap_conv")(g)
         g = self.norm(name="gap_bn")(g)
         g = nn.relu(g)
         g = jnp.broadcast_to(g, b4.shape)
 
         y = jnp.concatenate([b1, b2, b3, b4, g], axis=-1)
-        y = nn.Conv(256, (1, 1), use_bias=False, name="proj")(y)
+        y = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="proj")(y)
         y = self.norm(name="proj_bn")(y)
         y = nn.relu(y)
         return nn.Dropout(self.dropout, deterministic=not train)(y)

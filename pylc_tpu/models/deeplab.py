@@ -8,7 +8,7 @@ with dropout 0.5/0.1, 1x1 head, final bilinear to the input resolution.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,22 +22,23 @@ from pylc_tpu.models.xception import AlignedXception
 class DeepLabDecoder(nn.Module):
     n_classes: int
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, low_level_feat, *, train: bool = False):
-        ll = nn.Conv(48, (1, 1), use_bias=False, name="ll_conv")(
-            low_level_feat)
+        ll = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="ll_conv")(low_level_feat)
         ll = self.norm(name="ll_bn")(ll)
         ll = nn.relu(ll)
         x = resize_bilinear_align_corners(x, ll.shape[-3], ll.shape[-2])
         x = jnp.concatenate([x, ll], axis=-1)
         x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = self.norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    name="conv2")(x)
+                    dtype=self.dtype, name="conv2")(x)
         x = self.norm(name="bn2")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.1, deterministic=not train)(x)
@@ -49,6 +50,7 @@ class DeepLab(nn.Module):
     backbone: str = "resnet"
     output_stride: int = 16
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -58,14 +60,14 @@ class DeepLab(nn.Module):
         H, W = x.shape[-3], x.shape[-2]
         if self.backbone == "resnet":
             feat, ll = ResNet101(self.output_stride, self.norm,
-                                 name="backbone")(x)
+                                 dtype=self.dtype, name="backbone")(x)
         elif self.backbone == "xception":
             feat, ll = AlignedXception(self.output_stride, self.norm,
-                                       name="backbone")(x)
+                                       dtype=self.dtype, name="backbone")(x)
         else:
             raise ValueError(f"Unknown backbone '{self.backbone}'")
-        y = ASPP(self.output_stride, norm=self.norm,
+        y = ASPP(self.output_stride, norm=self.norm, dtype=self.dtype,
                  name="aspp")(feat, train=train)
-        y = DeepLabDecoder(self.n_classes, self.norm,
+        y = DeepLabDecoder(self.n_classes, self.norm, dtype=self.dtype,
                            name="decoder")(y, ll, train=train)
-        return resize_bilinear_align_corners(y, H, W)
+        return resize_bilinear_align_corners(y, H, W).astype(jnp.float32)

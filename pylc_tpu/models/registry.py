@@ -19,19 +19,24 @@ def build_model(cfg: Config, train: bool = False,
     BatchNorm needs ``use_running_average`` at construction, unlike
     torch's mode flag).
     """
+    import jax.numpy as jnp
+
     norm = make_norm(cfg.norm_type, train=train, axis_name=axis_name)
     act = get_activation(cfg.activ_type)
+    # conv compute dtype: bf16 keeps the MXU in its native precision;
+    # params and normalizers stay f32 (see models/layers.py docstring)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     if cfg.arch == "unet":
         return UNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode,
                     dropout=cfg.dropout, norm=norm, act=act,
-                    depth=cfg.unet_depth, wf=cfg.unet_wf)
+                    depth=cfg.unet_depth, wf=cfg.unet_wf, dtype=dtype)
     if cfg.arch == "resunet":
         return ResUNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode, act=act,
-                       depth=cfg.unet_depth, wf=cfg.unet_wf)
+                       depth=cfg.unet_depth, wf=cfg.unet_wf, dtype=dtype)
     if cfg.arch == "deeplab":
         return DeepLab(n_classes=cfg.n_classes, backbone=cfg.backbone,
-                       norm=norm)
+                       norm=norm, dtype=dtype)
     raise ValueError(f"Model '{cfg.arch}' not available. "
                      f"Options: {cfg.arch_options}")
 

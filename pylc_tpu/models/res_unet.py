@@ -10,7 +10,7 @@ the valid-conv output window.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,22 +22,26 @@ class UNetResBlock(nn.Module):
     features: int
     act: Callable
     padding: str = "VALID"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         residual = x
-        y = nn.Conv(self.features, (3, 3), padding=self.padding)(x)
+        y = nn.Conv(self.features, (3, 3), padding=self.padding,
+                    dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(y)
         y = self.act(y)
-        y = nn.Conv(self.features, (3, 3), padding=self.padding)(y)
+        y = nn.Conv(self.features, (3, 3), padding=self.padding,
+                    dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(y)
         if residual.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1), use_bias=False,
+                               dtype=self.dtype,
                                name="shortcut_proj")(residual)
         residual = center_crop(residual, y.shape[-3], y.shape[-2])
-        return self.act(y + residual)
+        return self.act(y + residual.astype(y.dtype))
 
 
 class ResUNetUpBlock(nn.Module):
@@ -45,19 +49,21 @@ class ResUNetUpBlock(nn.Module):
     up_mode: str
     act: Callable
     padding: str = "VALID"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, bridge, *, train: bool = False):
         if self.up_mode == "upconv":
-            x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2))(x)
+            x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
+                                 dtype=self.dtype)(x)
         else:
             x = resize_bilinear_align_corners(
                 x, x.shape[-3] * 2, x.shape[-2] * 2)
-            x = nn.Conv(self.features, (1, 1))(x)
+            x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
         bridge = center_crop(bridge, x.shape[-3], x.shape[-2])
-        x = jnp.concatenate([x, bridge], axis=-1)
-        return UNetResBlock(self.features, self.act,
-                            self.padding)(x, train=train)
+        x = jnp.concatenate([x, bridge.astype(x.dtype)], axis=-1)
+        return UNetResBlock(self.features, self.act, self.padding,
+                            self.dtype)(x, train=train)
 
 
 class ResUNet(nn.Module):
@@ -67,18 +73,20 @@ class ResUNet(nn.Module):
     up_mode: str = "upsample"
     act: Callable = nn.relu
     padding: str = "VALID"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         blocks = []
         for i in range(self.depth):
             x = UNetResBlock(2 ** (self.wf + i), self.act, self.padding,
-                             name=f"enc{i}")(x, train=train)
+                             self.dtype, name=f"enc{i}")(x, train=train)
             if i != self.depth - 1:
                 blocks.append(x)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i, j in enumerate(reversed(range(self.depth - 1))):
             x = ResUNetUpBlock(2 ** (self.wf + j), self.up_mode, self.act,
-                               self.padding,
+                               self.padding, self.dtype,
                                name=f"dec{i}")(x, blocks[-i - 1], train=train)
-        return nn.Conv(self.n_classes, (1, 1), name="head")(x)
+        x = nn.Conv(self.n_classes, (1, 1), name="head")(x)
+        return x.astype(jnp.float32)

@@ -11,7 +11,7 @@ key-for-key.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,27 +25,30 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None  # conv compute dtype (bf16 on TPU); params stay f32
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=[(self.dilation, self.dilation)] * 2,
                     kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, name="conv2")(y)
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
         y = self.norm(name="bn3")(y)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
             residual = self.norm(name="downsample_bn")(residual)
-        return nn.relu(y + residual)
+        return nn.relu(y + residual.astype(y.dtype))
 
 
 class ResNet101(nn.Module):
@@ -55,6 +58,7 @@ class ResNet101(nn.Module):
     norm: Callable[..., nn.Module] = nn.BatchNorm
     layers: Sequence[int] = (3, 4, 23, 3)
     multi_grid: Sequence[int] = (1, 2, 4)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -67,7 +71,7 @@ class ResNet101(nn.Module):
                 f"output_stride {self.output_stride}")
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = self.norm(name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2_p1(x)
@@ -78,16 +82,17 @@ class ResNet101(nn.Module):
             needs_ds = stride != 1 or inplanes != planes * 4
             if grid is None:
                 x = Bottleneck(planes, stride, dilation, needs_ds, self.norm,
-                               name=f"{name}_0")(x)
+                               self.dtype, name=f"{name}_0")(x)
                 for i in range(1, blocks):
                     x = Bottleneck(planes, 1, dilation, False, self.norm,
-                                   name=f"{name}_{i}")(x)
+                                   self.dtype, name=f"{name}_{i}")(x)
             else:  # multi-grid unit (reference resnet.py:105-122)
                 x = Bottleneck(planes, stride, grid[0] * dilation, needs_ds,
-                               self.norm, name=f"{name}_0")(x)
+                               self.norm, self.dtype, name=f"{name}_0")(x)
                 for i in range(1, len(grid)):
                     x = Bottleneck(planes, 1, grid[i] * dilation, False,
-                                   self.norm, name=f"{name}_{i}")(x)
+                                   self.norm, self.dtype,
+                                   name=f"{name}_{i}")(x)
             return x
 
         x = layer(x, 64, self.layers[0], strides[0], dilations[0], "layer1")

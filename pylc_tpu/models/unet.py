@@ -16,7 +16,7 @@ written (unet.py:113-117); here the normalizer is simply applied.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -32,12 +32,13 @@ class UNetConvBlock(nn.Module):
     act: Callable
     dropout: float = 0.0
     padding: str = "VALID"
+    dtype: Any = None  # conv compute dtype (bf16 on TPU); params stay f32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding=self.padding,
-                        use_bias=True)(x)
+                        use_bias=True, dtype=self.dtype)(x)
             x = self.norm()(x)
             x = self.act(x)
         if self.dropout:
@@ -52,19 +53,22 @@ class UNetUpBlock(nn.Module):
     act: Callable
     dropout: float = 0.0
     padding: str = "VALID"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, bridge, *, train: bool = False):
         if self.up_mode == "upconv":
-            x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2))(x)
+            x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
+                                 dtype=self.dtype)(x)
         else:  # bilinear x2 (align_corners) + 1x1 conv, reference unet.py:135-138
             x = resize_bilinear_align_corners(
                 x, x.shape[-3] * 2, x.shape[-2] * 2)
-            x = nn.Conv(self.features, (1, 1))(x)
+            x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
         bridge = center_crop(bridge, x.shape[-3], x.shape[-2])
-        x = jnp.concatenate([x, bridge], axis=-1)
+        x = jnp.concatenate([x, bridge.astype(x.dtype)], axis=-1)
         return UNetConvBlock(self.features, self.norm, self.act,
-                             self.dropout, self.padding)(x, train=train)
+                             self.dropout, self.padding,
+                             self.dtype)(x, train=train)
 
 
 class UNet(nn.Module):
@@ -76,6 +80,7 @@ class UNet(nn.Module):
     norm: Callable[..., nn.Module] = nn.BatchNorm
     act: Callable = nn.relu
     padding: str = "VALID"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -84,13 +89,14 @@ class UNet(nn.Module):
         blocks = []
         for i in range(self.depth):
             x = UNetConvBlock(2 ** (self.wf + i), self.norm, self.act,
-                              self.dropout, self.padding,
+                              self.dropout, self.padding, self.dtype,
                               name=f"enc{i}")(x, train=train)
             if i != self.depth - 1:
                 blocks.append(x)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i, j in enumerate(reversed(range(self.depth - 1))):
             x = UNetUpBlock(2 ** (self.wf + j), self.up_mode, self.norm,
-                            self.act, self.dropout, self.padding,
+                            self.act, self.dropout, self.padding, self.dtype,
                             name=f"dec{i}")(x, blocks[-i - 1], train=train)
-        return nn.Conv(self.n_classes, (1, 1), name="head")(x)
+        x = nn.Conv(self.n_classes, (1, 1), name="head")(x)
+        return x.astype(jnp.float32)

@@ -13,7 +13,7 @@ Separable conv = depthwise (feature_group_count = C_in) + BN + pointwise
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Any, Callable, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,6 +31,7 @@ class SeparableConv(nn.Module):
     stride: int = 1
     dilation: int = 1
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -40,10 +41,10 @@ class SeparableConv(nn.Module):
                     padding=[pad, pad],
                     kernel_dilation=(self.dilation, self.dilation),
                     feature_group_count=cin, use_bias=False,
-                    name="depthwise")(x)
+                    dtype=self.dtype, name="depthwise")(x)
         x = self.norm(name="bn")(x)
         return nn.Conv(self.features, (1, 1), use_bias=False,
-                       name="pointwise")(x)
+                       dtype=self.dtype, name="pointwise")(x)
 
 
 class XBlock(nn.Module):
@@ -55,6 +56,7 @@ class XBlock(nn.Module):
     grow_first: bool = True
     is_last: bool = False
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inp):
@@ -71,42 +73,44 @@ class XBlock(nn.Module):
         if self.grow_first:
             x = relu_maybe(x, first); first = False
             x = SeparableConv(self.features, 1, self.dilation, self.norm,
-                              name=f"sep{idx}")(x)
+                              self.dtype, name=f"sep{idx}")(x)
             x = self.norm(name=f"sepbn{idx}")(x); idx += 1
         for _ in range(self.reps - 1):
             x = relu_maybe(x, first); first = False
             x = SeparableConv(x.shape[-1], 1, self.dilation, self.norm,
-                              name=f"sep{idx}")(x)
+                              self.dtype, name=f"sep{idx}")(x)
             x = self.norm(name=f"sepbn{idx}")(x); idx += 1
         if not self.grow_first:
             x = relu_maybe(x, first); first = False
             x = SeparableConv(self.features, 1, self.dilation, self.norm,
-                              name=f"sep{idx}")(x)
+                              self.dtype, name=f"sep{idx}")(x)
             x = self.norm(name=f"sepbn{idx}")(x); idx += 1
         if self.stride != 1:
             x = nn.relu(x)
             x = SeparableConv(self.features, 2, 1, self.norm,
-                              name=f"sep{idx}")(x)
+                              self.dtype, name=f"sep{idx}")(x)
             x = self.norm(name=f"sepbn{idx}")(x); idx += 1
         if self.stride == 1 and self.is_last:
             x = nn.relu(x)
             x = SeparableConv(self.features, 1, 1, self.norm,
-                              name=f"sep{idx}")(x)
+                              self.dtype, name=f"sep{idx}")(x)
             x = self.norm(name=f"sepbn{idx}")(x); idx += 1
 
         if self.features != inp.shape[-1] or self.stride != 1:
             skip = nn.Conv(self.features, (1, 1),
                            strides=(self.stride, self.stride),
-                           use_bias=False, name="skip")(inp)
+                           use_bias=False, dtype=self.dtype,
+                           name="skip")(inp)
             skip = self.norm(name="skipbn")(skip)
         else:
             skip = inp
-        return x + skip
+        return x + skip.astype(x.dtype)
 
 
 class AlignedXception(nn.Module):
     output_stride: int = 16
     norm: Callable[..., nn.Module] = nn.BatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -119,38 +123,39 @@ class AlignedXception(nn.Module):
 
         # entry flow
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = self.norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    name="conv2")(x)
+                    dtype=self.dtype, name="conv2")(x)
         x = self.norm(name="bn2")(x)
         x = nn.relu(x)
 
         x = XBlock(128, 2, stride=2, start_with_relu=False, norm=self.norm,
-                   name="block1")(x)
+                   dtype=self.dtype, name="block1")(x)
         x = nn.relu(x)
         low_level_feat = x
         x = XBlock(256, 2, stride=2, start_with_relu=False, grow_first=True,
-                   norm=self.norm, name="block2")(x)
+                   norm=self.norm, dtype=self.dtype, name="block2")(x)
         x = XBlock(728, 2, stride=entry3_stride, start_with_relu=True,
                    grow_first=True, is_last=True, norm=self.norm,
-                   name="block3")(x)
+                   dtype=self.dtype, name="block3")(x)
 
         # middle flow: 16 blocks (reference block4..block19)
         for i in range(4, 20):
             x = XBlock(728, 3, stride=1, dilation=mid_dil,
                        start_with_relu=True, grow_first=True,
-                       norm=self.norm, name=f"block{i}")(x)
+                       norm=self.norm, dtype=self.dtype,
+                       name=f"block{i}")(x)
 
         # exit flow
         x = XBlock(1024, 2, stride=1, dilation=exit_dil[0],
                    start_with_relu=True, grow_first=False, is_last=True,
-                   norm=self.norm, name="block20")(x)
+                   norm=self.norm, dtype=self.dtype, name="block20")(x)
         x = nn.relu(x)
         for i, feats in ((3, 1536), (4, 1536), (5, 2048)):
             x = SeparableConv(feats, 1, exit_dil[1], self.norm,
-                              name=f"conv{i}")(x)
+                              self.dtype, name=f"conv{i}")(x)
             x = self.norm(name=f"bn{i}")(x)
             x = nn.relu(x)
         return x, low_level_feat

@@ -93,6 +93,7 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
                       f"(iter {int(state.step)}).")
     else:
         ckpt.reset()
+    it = int(state.step)  # host-side step mirror (avoids per-step sync)
 
     sharding = batch_sharding(mesh, 4)
     mask_sharding = batch_sharding(mesh, 3)
@@ -108,7 +109,7 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         validation, train.py:146-151)."""
         for img, mask in va_ds:
             metrics = eval_step(state, *put(img, mask))
-            loss.push(jax.device_get(metrics))
+            loss.push(metrics)
         loss.log(it, training=False)
         ckpt.save(state, cfg, epoch, is_best=loss.is_best)
         loss.save()
@@ -126,21 +127,21 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         loss.lr.append((int(state.step), float(lr_sched(state.step))))
 
         if epoch == epoch0:
-            validate(state, int(state.step), epoch)
+            validate(state, it, epoch)
 
         for img, mask in tr_ds:
             step_rng, sub = jax.random.split(step_rng)
             state, metrics = train_step(state, *put(img, mask), sub)
-            it = int(state.step)
-            loss.push(jax.device_get(metrics))
+            it += 1
+            loss.push(metrics)
             if it % cfg.report == 0:
                 loss.log(it, training=True)
                 loss.save()
                 if verbose:
                     print(f"  step {it}: {loss.status('train')}")
-        loss.log(int(state.step), training=True)
+        loss.log(it, training=True)
 
-        validate(state, int(state.step), epoch + 1)
+        validate(state, it, epoch + 1)
 
     dt = time.time() - t_start
     return {
