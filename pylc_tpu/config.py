@@ -214,9 +214,10 @@ class Config:
     save_logits: bool = False
     aggregate_metrics: bool = False
 
-    # TPU-specific (new): compute dtype + mesh axes
+    # TPU-specific (new): compute dtype + mesh axes + kernel policy
     compute_dtype: str = "bfloat16"
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'data': 8}
+    fused_loss: str = "auto"  # auto|on|off — Pallas multi-loss kernel
 
     # choice lists (reference config.py:211-222; 'syncbatch' typo fixed)
     ch_options: Tuple[int, ...] = (1, 3)

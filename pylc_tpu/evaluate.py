@@ -24,7 +24,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from pylc_tpu.config import Config
-from pylc_tpu.ops.palette import class_encode
+
 
 
 class Metrics:
@@ -93,10 +93,12 @@ class Evaluator:
                 raise ValueError(
                     f"Ground truth dims {mask_true.shape[:2]} do not match "
                     f"predicted dims {mask_pred_rgb.shape[:2]}.")
-            self.y_pred = np.asarray(class_encode(
-                mask_pred_rgb[None], self.cfg.palette_rgb)).ravel()
-            self.y_true = np.asarray(class_encode(
-                mask_true[None], self.cfg.palette_rgb)).ravel()
+            # host-side native encode (native/pylc_host.cpp): these are
+            # full 10-20 MP masks and the device is busy with inference
+            from pylc_tpu import native
+            pal = np.asarray(self.cfg.palette_rgb, np.uint8)
+            self.y_pred = native.class_encode(mask_pred_rgb, pal).ravel()
+            self.y_true = native.class_encode(mask_true, pal).ravel()
             self.y_true_aggregate.append(self.y_true)
             self.y_pred_aggregate.append(self.y_pred)
         return self

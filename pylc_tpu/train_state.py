@@ -124,6 +124,26 @@ def _prepare_batch(cfg: Config, img, mask, flip: Optional[jnp.ndarray]):
     return x, mask
 
 
+def _select_loss(cfg: Config):
+    """Pick the loss implementation: the Pallas fused kernel (forward
+    partials + analytic-VJP backward, pylc_tpu/ops/pallas/fused_loss.py)
+    on TPU, the XLA-fused jnp version elsewhere."""
+    # auto: TPU single-chip only — GSPMD cannot partition a pallas_call
+    # over a sharded batch; the multi-chip path keeps the jnp loss until
+    # the kernel is wrapped in shard_map (tracked for round 2)
+    use_pallas = cfg.fused_loss == "on" or (
+        cfg.fused_loss == "auto" and jax.default_backend() == "tpu"
+        and jax.device_count() == 1)
+    if use_pallas:
+        from pylc_tpu.ops.pallas.fused_loss import fused_multi_loss
+
+        def loss(logits, y, class_weights, w):
+            return fused_multi_loss(logits, y, class_weights, w)
+        return loss
+    return lambda logits, y, class_weights, w: multi_loss(
+        logits, y, class_weights=class_weights, w=w)
+
+
 def make_train_step(cfg: Config, model):
     """Build the jitted train step: (state, img u8, mask u8, rng) ->
     (state, metrics)."""
@@ -134,6 +154,7 @@ def make_train_step(cfg: Config, model):
     cw = jnp.asarray(np.asarray(cfg.weights, dtype=np.float32)) \
         if cfg.weights is not None else None
     has_bn = cfg.norm_type in ("batch", "syncbatch")
+    loss_impl = _select_loss(cfg)
 
     def step(state: TrainState, img, mask, rng):
         flip_rng, drop_rng = jax.random.split(rng)
@@ -149,7 +170,7 @@ def make_train_step(cfg: Config, model):
             out = model.apply(variables, x, train=True,
                               rngs={"dropout": drop_rng}, mutable=mutable)
             logits, new_vars = out if mutable else (out, {})
-            total, aux = multi_loss(logits, y, class_weights=cw, w=lw)
+            total, aux = loss_impl(logits, y, cw, lw)
             return total, (aux, new_vars.get("batch_stats", state.batch_stats))
 
         (total, (aux, new_bs)), grads = jax.value_and_grad(
