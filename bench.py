@@ -1,67 +1,153 @@
 #!/usr/bin/env python3
-"""Benchmark: Megapixels/sec/chip on the tile->infer->stitch pipeline.
+"""Benchmarks. Default (driver contract): ONE JSON line with the
+headline metric — Megapixels/sec/chip on tile->infer->stitch for the
+flagship DeepLabV3+ (ResNet101, OS16) over a synthetic 10 MP photo.
 
-Runs the flagship DeepLabV3+ (ResNet101, OS16) over a synthetic 10 MP
-photograph — the BASELINE.json north-star surface ("segment a 10 MP
-oblique photo end-to-end in < 2 s on a v5e-8").  Per-chip target implied
-by the north star: 10 MP / 2 s / 8 chips = 0.625 MP/s/chip;
-``vs_baseline`` is measured MP/s/chip divided by that target.
+Per-chip target implied by the BASELINE.json north star ("10 MP
+end-to-end < 2 s on a v5e-8"): 10 / 2 / 8 = 0.625 MP/s/chip;
+``vs_baseline`` = measured / target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Modes:
+  python bench.py                 # headline infer metric (driver runs this)
+  python bench.py --mode pipeline # N-photo extract->infer->CRF->stitch
+  python bench.py --mode crf      # CRF-refined single-image pipeline
+  python bench.py --mode train    # train-step throughput (tiles/s)
+  python bench.py --trace DIR     # capture a jax.profiler trace
 """
 
+import argparse
+import contextlib
 import json
 import sys
 import time
 
+TARGET_PER_CHIP = 10.0 / 2.0 / 8  # MP/s/chip north-star
 
-def main():
-    from functools import partial
 
+def build_segmenter(crf=False):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from flax import linen as nn
-
     from pylc_tpu.config import Config
     from pylc_tpu.infer import Segmenter
     from pylc_tpu.train_state import init_state, make_predict
     from pylc_tpu.models.registry import build_model
-    from pylc_tpu.utils.imageio import adjust_to_tile
 
     cfg = Config().replace(arch="deeplab", backbone="resnet", ch=3,
                            norm_type="batch")
     state, _ = init_state(cfg, jax.random.PRNGKey(0))
     model_eval = build_model(cfg, train=False)
     predict = make_predict(cfg, model_eval)
-    seg = Segmenter(cfg, state, predict, batch_size=8)
+    crf_fn = None
+    if crf:
+        from pylc_tpu.ops.crf import make_crf
+        crf_fn = make_crf(cfg)
+    return cfg, Segmenter(cfg, state, predict, batch_size=8, crf=crf_fn)
 
-    # synthetic 10 MP photo (3872 x 2592 = 10.04 MP)
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (2592, 3872, 3)).astype(np.uint8)
-    fitted, w_fit, h_fit, _ = adjust_to_tile(img, cfg.tile_size,
-                                             cfg.tile_size // 2)
 
-    # warmup (compile)
-    seg.segment_array(fitted)
-    # timed runs
+def synthetic_photo(cfg, mp_w=3872, mp_h=2592, seed=0):
+    import numpy as np
+    from pylc_tpu.utils.imageio import adjust_to_tile
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (mp_h, mp_w, 3)).astype(np.uint8)
+    fitted, *_ = adjust_to_tile(img, cfg.tile_size, cfg.tile_size // 2)
+    return fitted
+
+
+def bench_infer(use_crf=False, repeats=3):
+    cfg, seg = build_segmenter(crf=use_crf)
+    fitted = synthetic_photo(cfg)
+    seg.segment_array(fitted)  # compile
     times = []
-    for _ in range(3):
+    for _ in range(repeats):
         res = seg.segment_array(fitted)
         times.append(res["seconds"])
-    dt = min(times)
-    mp = res["megapixels"]
-    n_chips = 1  # bench runs on the single available chip
-    mps_per_chip = mp / dt / n_chips
-
-    target_per_chip = 10.0 / 2.0 / 8  # north-star: 10 MP / 2 s / 8 chips
-    print(json.dumps({
-        "metric": "tile->infer->stitch throughput (DeepLabV3+/ResNet101, "
-                  "10MP, 512px tiles, stride 256)",
-        "value": round(mps_per_chip, 3),
+    mps = res["megapixels"] / min(times)
+    label = "tile->infer->CRF->stitch" if use_crf else "tile->infer->stitch"
+    return {
+        "metric": f"{label} throughput (DeepLabV3+/ResNet101, 10MP, "
+                  "512px tiles, stride 256)",
+        "value": round(mps, 3),
         "unit": "MP/s/chip",
-        "vs_baseline": round(mps_per_chip / target_per_chip, 3),
-    }))
+        "vs_baseline": round(mps / TARGET_PER_CHIP, 3),
+    }
+
+
+def bench_pipeline(n_photos=10, use_crf=True):
+    """Batched pipeline (BASELINE.json config 5, scaled by --photos):
+    distinct decoded photos through fit->tile->infer->CRF->stitch."""
+    import numpy as np
+    cfg, seg = build_segmenter(crf=use_crf)
+    photos = [synthetic_photo(cfg, seed=i) for i in range(n_photos)]
+    seg.segment_array(photos[0])  # compile once (same canvas shape)
+    t0 = time.perf_counter()
+    mp = 0.0
+    for p in photos:
+        res = seg.segment_array(p)
+        mp += res["megapixels"]
+    dt = time.perf_counter() - t0
+    return {
+        "metric": f"batched pipeline ({n_photos} photos, "
+                  f"CRF={'on' if use_crf else 'off'})",
+        "value": round(mp / dt, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round((mp / dt) / TARGET_PER_CHIP, 3),
+    }
+
+
+def bench_train(steps=10, batch=8):
+    import jax
+    import numpy as np
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_train_step
+
+    cfg = Config().replace(arch="deeplab", backbone="resnet", ch=3,
+                           batch_size=batch)
+    state, model = init_state(cfg, jax.random.PRNGKey(0), 100)
+    step = make_train_step(cfg, model)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (batch, 512, 512, 3)).astype(np.uint8)
+    mask = rng.integers(0, cfg.n_classes, (batch, 512, 512)).astype(np.uint8)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, img, mask, key)  # compile
+    jax.block_until_ready(m["total"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, img, mask, sub)
+    jax.block_until_ready(m["total"])
+    dt = time.perf_counter() - t0
+    tiles_s = steps * batch / dt
+    return {
+        "metric": f"train-step throughput (DeepLabV3+/ResNet101, "
+                  f"batch {batch}, 512px)",
+        "value": round(tiles_s, 3),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(tiles_s / 8.0, 3),  # ref config: batch 8 / step
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="infer",
+                    choices=("infer", "crf", "pipeline", "train"))
+    ap.add_argument("--photos", type=int, default=10)
+    ap.add_argument("--trace", default=None, metavar="DIR")
+    args = ap.parse_args()
+
+    ctx = contextlib.nullcontext()
+    if args.trace:
+        from pylc_tpu.utils.tracing import trace
+        ctx = trace(args.trace)
+
+    with ctx:
+        if args.mode == "infer":
+            out = bench_infer()
+        elif args.mode == "crf":
+            out = bench_infer(use_crf=True)
+        elif args.mode == "pipeline":
+            out = bench_pipeline(args.photos)
+        else:
+            out = bench_train()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -47,12 +47,19 @@ class Segmenter:
     """
 
     def __init__(self, cfg: Config, state, predict_fn: Callable,
-                 batch_size: int = 8, crf: Optional[Callable] = None):
+                 batch_size: int = 8, crf: Optional[Callable] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — when given, the tile batch
+        is sharded over the mesh's 'data' axis (spatial scale-out: the
+        convnet analogue of sequence parallelism, SURVEY.md §5.7) and
+        each chip runs its share of the forward; the stitch gathers
+        probabilities via GSPMD collectives over ICI."""
         self.cfg = cfg
         self.state = state
         self.predict = predict_fn
         self.batch_size = batch_size
         self.crf = crf
+        self.mesh = mesh
         self._cache: Dict[Tuple[int, int, int], Callable] = {}
 
     # ------------------------------------------------------------------ #
@@ -62,11 +69,31 @@ class Segmenter:
         tile = cfg.tile_size
         n_rows, n_cols = grid_dims(W, H, tile, stride)
         n_tiles = n_rows * n_cols
-        batch = self.batch_size
-        n_pad = (-n_tiles) % batch
-        n_batches = (n_tiles + n_pad) // batch
         palette = palette_lut(cfg.palette_rgb)
         crf = self.crf
+        mesh = self.mesh
+        if mesh is not None:
+            # per-chip sub-batches: pad the tile count to a multiple of
+            # (mesh_size * batch) so every chip scans the same length
+            group = mesh.devices.size * self.batch_size
+        else:
+            group = self.batch_size
+        n_pad = (-n_tiles) % group
+        n_batches = (n_tiles + n_pad) // group
+
+        # probs leave the scan in bf16 when the full tile set is large
+        # (10MP = ~1.1 GB in f32); the stitch accumulates in f32, and
+        # bf16 holds ~3 decimal digits on [0,1] — argmax-stable
+        probs_dtype = jnp.bfloat16 if \
+            n_tiles * tile * tile * cfg.n_classes * 4 > 256 * 2 ** 20 \
+            else jnp.float32
+
+        def forward_probs(state, batch_tiles):
+            logits = self.predict(state, batch_tiles)
+            if logits.shape[1] != tile:  # valid-conv U-Net
+                logits = resize_bilinear_align_corners(logits, tile, tile)
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return p.astype(probs_dtype)
 
         @jax.jit
         def run(state, img):
@@ -74,17 +101,16 @@ class Segmenter:
             if n_pad:
                 tiles = jnp.concatenate(
                     [tiles, jnp.repeat(tiles[-1:], n_pad, axis=0)], axis=0)
-            tiles = tiles.reshape((n_batches, batch) + tiles.shape[1:])
+            tiles = tiles.reshape((n_batches, group) + tiles.shape[1:])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, P(None, "data")))
 
             def body(carry, batch_tiles):
-                logits = self.predict(state, batch_tiles)
-                if logits.shape[1] != tile:  # valid-conv U-Net
-                    logits = resize_bilinear_align_corners(
-                        logits, tile, tile)
                 # softmax per tile inside the scan keeps live memory at
                 # one batch of logits instead of the full tile set
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                return carry, probs
+                return carry, forward_probs(state, batch_tiles)
 
             _, probs = jax.lax.scan(body, 0, tiles)
             probs = probs.reshape((-1,) + probs.shape[2:])[:n_tiles]

@@ -128,11 +128,14 @@ def stitch_probs(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
     t = tile_probs.reshape(n_rows, n_cols, k, s, k, s, C)
     t = t.transpose(0, 1, 2, 4, 3, 5, 6)
 
-    acc = jnp.zeros((Rb, Cb, s, s, C), tile_probs.dtype)
-    cnt = jnp.zeros((Rb, Cb, 1, 1, 1), tile_probs.dtype)
+    # accumulate in f32 regardless of input precision (tile probs may
+    # arrive bf16 to halve their HBM footprint at 10MP scale)
+    acc = jnp.zeros((Rb, Cb, s, s, C), jnp.float32)
+    cnt = jnp.zeros((Rb, Cb, 1, 1, 1), jnp.float32)
     for a in range(k):
         for b in range(k):
-            acc = acc.at[a:a + n_rows, b:b + n_cols].add(t[:, :, a, b])
+            acc = acc.at[a:a + n_rows, b:b + n_cols].add(
+                t[:, :, a, b].astype(jnp.float32))
             cnt = cnt.at[a:a + n_rows, b:b + n_cols].add(1.0)
     acc = acc / cnt
     # blocks -> canvas [Rb*s, Cb*s, C]

@@ -20,6 +20,7 @@ resumed run completes exactly ``n_epochs``.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -74,6 +75,16 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     # model + state
     rng = jax.random.PRNGKey(0)
     state, model = init_state(cfg, rng, steps_per_epoch)
+
+    # overlay pretrained ImageNet encoder weights (reference
+    # models/backbone/resnet.py:149-158 loads resnet101-5d3b4d8f.pth)
+    if (cfg.arch == "deeplab" and cfg.backbone == "resnet"
+            and isinstance(cfg.pretrained, str)
+            and os.path.exists(cfg.pretrained)):
+        from pylc_tpu.convert import load_resnet101_imagenet
+        state = load_resnet101_imagenet(cfg.pretrained, state)
+        if verbose:
+            print(f"Loaded pretrained encoder from {cfg.pretrained}")
     model_eval = build_model(cfg, train=False)
     train_step = make_train_step(cfg, model)
     eval_step = make_eval_step(cfg, model_eval)

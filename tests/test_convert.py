@@ -137,3 +137,29 @@ def test_export_import_roundtrip(tmp_path, rng):
             np.testing.assert_allclose(np.asarray(a), b, atol=1e-6,
                                        err_msg=path)
     cmp(orig_p, p)
+
+
+@pytest.mark.slow
+def test_pth_model_loads_end_to_end(tmp_path, rng):
+    """A .pth exported in the reference schema loads through
+    tester.load_model and produces identical logits."""
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_predict
+    from pylc_tpu.tester import load_model
+    from pylc_tpu.models.registry import build_model
+
+    cfg = Config().replace(arch="deeplab", backbone="resnet", ch=3,
+                           tile_size=64, compute_dtype="float32")
+    state, _ = init_state(cfg, jax.random.PRNGKey(1))
+    out = str(tmp_path / "model.pth")
+    export_deeplab_pth(state, cfg, out)
+
+    cfg2, state2, predict2 = load_model(out, Config().replace(
+        tile_size=64, compute_dtype="float32"))
+    assert cfg2.arch == "deeplab"
+
+    x = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    predict1 = make_predict(cfg, build_model(cfg, train=False))
+    y1 = np.asarray(predict1(state, x))
+    y2 = np.asarray(predict2(state2, x))
+    np.testing.assert_allclose(y1, y2, atol=1e-5)

@@ -45,3 +45,28 @@ def test_map_palette_b_to_a():
     cm = np.array([[0, 2, 10], [5, 4, 9]], dtype=np.uint8)
     got = np.asarray(map_palette(cm, key))
     np.testing.assert_array_equal(got, key[cm])
+
+
+def test_schema_b_roundtrip(rng):
+    """11-class schema_b palette codecs round-trip."""
+    import os
+    from pylc_tpu.config import Schema, SCHEMA_DIR
+    schema = Schema.load(os.path.join(SCHEMA_DIR, "schema_b.json"))
+    assert schema.n_classes == 11
+    palette = np.array(schema.palette_rgb, dtype=np.uint8)
+    classes = rng.integers(0, 11, size=(1, 16, 16))
+    enc = np.asarray(class_encode(palette[classes], palette))
+    np.testing.assert_array_equal(enc, classes)
+
+
+def test_schema_b_to_a_mapping():
+    """The published b-to-a class map collapses 11 -> 9 classes."""
+    import json, os
+    from pylc_tpu.config import SCHEMA_DIR
+    with open(os.path.join(SCHEMA_DIR, "schema_a.json")) as f:
+        key = json.load(f)["maps"]["b-to-a"]
+    assert len(key) == 11
+    assert max(key) == 8
+    cm_b = np.arange(11, dtype=np.uint8).reshape(1, 11)
+    got = np.asarray(map_palette(cm_b, np.asarray(key)))
+    np.testing.assert_array_equal(got[0], key)
