@@ -79,10 +79,8 @@ def bench_pipeline(n_photos=10, use_crf=True):
     photos = [synthetic_photo(cfg, seed=i) for i in range(n_photos)]
     seg.segment_array(photos[0])  # compile once (same canvas shape)
     t0 = time.perf_counter()
-    mp = 0.0
-    for p in photos:
-        res = seg.segment_array(p)
-        mp += res["megapixels"]
+    results = seg.segment_many(photos)  # pipelined H2D/compute/D2H
+    mp = sum(r["megapixels"] for r in results)
     dt = time.perf_counter() - t0
     return {
         "metric": f"batched pipeline ({n_photos} photos, "

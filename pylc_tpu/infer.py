@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pylc_tpu.config import Config
-from pylc_tpu.ops.palette import palette_lut
 from pylc_tpu.ops.tiles import grid_dims, stitch_probs, unfold_tiles
 from pylc_tpu.models.layers import resize_bilinear_align_corners
 from pylc_tpu.utils.imageio import adjust_to_tile, get_image
@@ -69,7 +68,6 @@ class Segmenter:
         tile = cfg.tile_size
         n_rows, n_cols = grid_dims(W, H, tile, stride)
         n_tiles = n_rows * n_cols
-        palette = palette_lut(cfg.palette_rgb)
         crf = self.crf
         mesh = self.mesh
         if mesh is not None:
@@ -118,8 +116,7 @@ class Segmenter:
             if crf is not None:
                 canvas = crf(canvas, img)
             class_map = jnp.argmax(canvas, axis=-1).astype(jnp.uint8)
-            mask_rgb = jnp.take(palette, class_map.astype(jnp.int32), axis=0)
-            return mask_rgb, class_map, canvas
+            return class_map, canvas
 
         return run
 
@@ -140,16 +137,61 @@ class Segmenter:
         run = self._cache[key]
 
         t0 = time.perf_counter()
-        mask_rgb, class_map, canvas = run(self.state, jnp.asarray(img))
-        mask_rgb = np.asarray(mask_rgb)  # single device->host transfer
+        class_map, canvas = run(self.state, jnp.asarray(img))
+        # fetch the 1-byte/px class map (3x less than RGB over the
+        # host link) and colourize with the native host LUT
+        class_map = np.asarray(class_map)
+        from pylc_tpu import native
+        mask_rgb = native.colourize(
+            class_map, np.asarray(self.cfg.palette_rgb, np.uint8))
         dt = time.perf_counter() - t0
         return {
             "mask_rgb": mask_rgb,
-            "class_map": np.asarray(class_map),
+            "class_map": class_map,
             "probs": canvas,
             "seconds": dt,
             "megapixels": H * W / 1e6,
         }
+
+    def segment_many(self, imgs, stride: Optional[int] = None):
+        """Software-pipelined segmentation of a sequence of fitted images
+        of the same shape (the 100-photo batch pipeline): uploads,
+        compute, and downloads overlap via JAX async dispatch — fetches
+        are deferred until every program is enqueued.
+
+        Returns a list of dicts like segment_array (without 'probs')."""
+        cfg = self.cfg
+        stride = stride or cfg.tile_size // 2
+        if not imgs:
+            return []
+        H, W = imgs[0].shape[:2]
+        key = (H, W, stride)
+        if key not in self._cache:
+            self._cache[key] = self._build(H, W, stride)
+        run = self._cache[key]
+
+        t0 = time.perf_counter()
+        pending = []
+        for img in imgs:
+            if img.ndim == 2:
+                img = img[..., None]
+            dev = jax.device_put(img)  # async H2D
+            class_map, _ = run(self.state, dev)
+            pending.append(class_map)  # no sync — keep the pipe full
+        pal = np.asarray(cfg.palette_rgb, np.uint8)
+        from pylc_tpu import native
+        out = []
+        for cm in pending:
+            cm = np.asarray(cm)
+            out.append({
+                "class_map": cm,
+                "mask_rgb": native.colourize(cm, pal),
+                "megapixels": H * W / 1e6,
+            })
+        total = time.perf_counter() - t0
+        for o in out:
+            o["seconds"] = total / len(out)
+        return out
 
     def segment_file(self, img_path: str, scale: Optional[float] = None,
                      stride: Optional[int] = None) -> Dict:
