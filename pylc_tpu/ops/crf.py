@@ -49,6 +49,7 @@ class CRFParams(NamedTuple):
     w_smoothness: float = 1.0
     sigma_spatial_sm: float = 1.5
     downsample: int = 2        # message-passing grid subsampling
+    backend: str = "auto"      # auto|pallas|xla — message-passing impl
     eps: float = 1e-8
 
 
@@ -98,6 +99,28 @@ def mean_field(probs: jnp.ndarray, guide: jnp.ndarray,
     unary = jnp.log(q0 + params.eps)
 
     r = params.radius
+    use_pallas = params.backend == "pallas" or (
+        params.backend == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        # VMEM-blocked Pallas message passing: one HBM round-trip per
+        # iteration instead of ~(2r+1)^2 shifted-array passes
+        from pylc_tpu.ops.pallas.crf_kernel import crf_iteration
+        q_cf = jnp.transpose(q0, (2, 0, 1))
+        g_cf = jnp.transpose(gd, (2, 0, 1))
+        u_cf = jnp.transpose(unary, (2, 0, 1))
+        interp = jax.default_backend() != "tpu"
+        for _ in range(params.n_iters):
+            q_cf = crf_iteration(
+                q_cf, g_cf, u_cf, r,
+                params.sigma_spatial_app, params.sigma_color,
+                params.sigma_spatial_sm, params.w_appearance,
+                params.w_smoothness, params.eps, interpret=interp)
+        q = jnp.transpose(q_cf, (1, 2, 0))
+        if k > 1:
+            q = _upsample(q, H, W, k)
+            q = q / jnp.sum(q, axis=-1, keepdims=True)
+        return q
+
     offsets = [(dy, dx)
                for dy in range(-r, r + 1)
                for dx in range(-r, r + 1)

@@ -58,3 +58,19 @@ def test_crf_respects_edges(rng):
     pred = refined.argmax(-1)
     assert (pred[:, :W // 2] == 0).all()
     assert (pred[:, W // 2:] == 1).all()
+
+
+def test_pallas_crf_iteration_matches_xla(rng):
+    """The Pallas VMEM-blocked iteration must reproduce the jnp
+    shifted-add mean-field exactly (interpret mode on CPU)."""
+    from pylc_tpu.ops.crf import CRFParams, mean_field
+    H, W, C = 40, 72, 7
+    probs = rng.random((H, W, C)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    guide = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    base = dict(n_iters=3, radius=2, downsample=1)
+    want = np.asarray(mean_field(jnp.asarray(probs), jnp.asarray(guide),
+                                 CRFParams(**base, backend="xla")))
+    got = np.asarray(mean_field(jnp.asarray(probs), jnp.asarray(guide),
+                                CRFParams(**base, backend="pallas")))
+    np.testing.assert_allclose(got, want, atol=2e-6)
