@@ -120,5 +120,64 @@ def main():
         os.unlink(driver)
 
 
+
+
+# ----------------------------------------------------------------- #
+# Model-conversion goldens: construct the reference torch DeepLab,
+# save a reference-format .pth + its logits on a fixed input.
+# ----------------------------------------------------------------- #
+
+MODEL_DRIVER = r'''
+import sys, numpy as np, torch
+sys.path.insert(0, ".")
+torch.manual_seed(0)
+from models.architectures.deeplab import DeepLab
+from config import defaults
+
+out_pth, out_npz, backbone = sys.argv[1], sys.argv[2], sys.argv[3]
+net = DeepLab(activ_func=torch.nn.ReLU(inplace=True),
+              normalizer=torch.nn.BatchNorm2d,
+              backbone=backbone, n_classes=9, in_channels=3,
+              pretrained=False)
+net.eval()
+# randomize BN running stats so conversion of batch_stats is exercised
+with torch.no_grad():
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+rng = np.random.default_rng(42)
+x = rng.normal(size=(1, 3, 128, 128)).astype(np.float32)
+with torch.no_grad():
+    y = net(torch.tensor(x)).numpy()
+
+meta = {k: v for k, v in vars(defaults).items()
+        if isinstance(v, (int, float, str, bool, list, tuple, type(None)))}
+meta.update({"arch": "deeplab", "backbone": backbone, "ch": 3})
+torch.save({"model": net.state_dict(), "meta": meta}, out_pth)
+np.savez_compressed(out_npz, x=x, logits=y)
+print("model golden written:", out_pth, y.shape)
+'''
+
+
+def gen_model_goldens():
+    os.makedirs(OUT, exist_ok=True)
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(MODEL_DRIVER)
+        driver = f.name
+    try:
+        for backbone in ("resnet", "xception"):
+            pth = os.path.abspath(os.path.join(
+                OUT, f"ref_deeplab_{backbone}.pth"))
+            npz = os.path.abspath(os.path.join(
+                OUT, f"ref_deeplab_{backbone}_io.npz"))
+            subprocess.run([sys.executable, driver, pth, npz, backbone],
+                           cwd=REF, check=True)
+    finally:
+        os.unlink(driver)
+
+
 if __name__ == "__main__":
     main()
+    gen_model_goldens()

@@ -104,3 +104,61 @@ def test_profile_weights_golden(g):
     weights = 1.0 / np.log(1.02 + probs)
     weights = weights / np.max(weights)
     np.testing.assert_allclose(weights, g["profile_weights"], rtol=1e-12)
+
+
+def _model_golden(backbone):
+    pth = os.path.join(os.path.dirname(__file__), "golden",
+                       f"ref_deeplab_{backbone}.pth")
+    io = os.path.join(os.path.dirname(__file__), "golden",
+                      f"ref_deeplab_{backbone}_io.npz")
+    if not (os.path.exists(pth) and os.path.exists(io)):
+        # .pth fixtures are 200+ MB and not committed; regenerate from
+        # the reference checkout when present
+        if os.path.isdir("/root/reference"):
+            import scripts.gen_goldens as gg
+            gg.gen_model_goldens()
+        else:
+            pytest.skip("model goldens not generated")
+    return pth, io
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backbone", ["resnet", "xception"])
+def test_converted_deeplab_matches_reference_logits(backbone):
+    """THE checkpoint-parity test: a reference-format torch .pth
+    (produced by executing the reference's DeepLab) converted to our
+    flax DeepLab must reproduce the reference's logits."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from flax import linen as nn
+    from pylc_tpu.convert import convert_deeplab_state_dict, \
+        load_reference_pth
+    from pylc_tpu.models.deeplab import DeepLab
+
+    pth, io = _model_golden(backbone)
+    data = load_reference_pth(pth)
+    params, stats = convert_deeplab_state_dict(data["model"], backbone)
+    golden = np.load(io)
+    x = np.transpose(golden["x"], (0, 2, 3, 1))  # NCHW -> NHWC
+    want = np.transpose(golden["logits"], (0, 2, 3, 1))
+
+    norm = partial(nn.BatchNorm, use_running_average=True, momentum=0.9,
+                   epsilon=1e-5)
+    model = DeepLab(n_classes=9, backbone=backbone, norm=norm, dtype=None)
+    variables = {"params": params, "batch_stats": stats}
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    assert got.shape == want.shape
+    # a random-init net with randomized BN stats amplifies activations to
+    # ~5e5, so compare at a scale-relative tolerance (f32 accumulation
+    # order differs between conv backends)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=1e-3,
+                               atol=max(5e-4, 1e-5 * scale))
+    # argmax masks identical up to float ties.  A random-init net has
+    # near-zero logits everywhere, so exact ties flip freely (xception:
+    # ~0.05% of pixels at |diff| < 2e-4); trained models sit far from
+    # ties.  The allclose above is the primary criterion.
+    agree = np.mean(got.argmax(-1) == want.argmax(-1))
+    assert agree >= 0.999, f"argmax agreement {agree}"
