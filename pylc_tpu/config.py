@@ -218,6 +218,10 @@ class Config:
     compute_dtype: str = "bfloat16"
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'data': 8}
     fused_loss: str = "auto"  # auto|on|off — Pallas multi-loss kernel
+    remat_backbone: bool = False  # rematerialize backbone blocks in training
+    # (measured on v5e: block-level remat halves step speed without
+    #  lifting the batch-32 HBM ceiling — inter-block activations
+    #  dominate; keep False unless memory-bound on other shapes)
 
     # choice lists (reference config.py:211-222; 'syncbatch' typo fixed)
     ch_options: Tuple[int, ...] = (1, 3)

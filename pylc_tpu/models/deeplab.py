@@ -51,6 +51,7 @@ class DeepLab(nn.Module):
     output_stride: int = 16
     norm: Callable[..., nn.Module] = nn.BatchNorm
     dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -60,10 +61,12 @@ class DeepLab(nn.Module):
         H, W = x.shape[-3], x.shape[-2]
         if self.backbone == "resnet":
             feat, ll = ResNet101(self.output_stride, self.norm,
-                                 dtype=self.dtype, name="backbone")(x)
+                                 dtype=self.dtype, remat=self.remat,
+                                 name="backbone")(x)
         elif self.backbone == "xception":
             feat, ll = AlignedXception(self.output_stride, self.norm,
-                                       dtype=self.dtype, name="backbone")(x)
+                                       dtype=self.dtype, remat=self.remat,
+                                       name="backbone")(x)
         else:
             raise ValueError(f"Unknown backbone '{self.backbone}'")
         y = ASPP(self.output_stride, norm=self.norm, dtype=self.dtype,

@@ -35,8 +35,12 @@ def build_model(cfg: Config, train: bool = False,
         return ResUNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode, act=act,
                        depth=cfg.unet_depth, wf=cfg.unet_wf, dtype=dtype)
     if cfg.arch == "deeplab":
+        # remat backbone blocks during training: recompute activations
+        # in the backward pass, trading ~30% FLOPs for the HBM that
+        # otherwise caps the batch size
         return DeepLab(n_classes=cfg.n_classes, backbone=cfg.backbone,
-                       norm=norm, dtype=dtype)
+                       norm=norm, dtype=dtype,
+                       remat=train and cfg.remat_backbone)
     raise ValueError(f"Model '{cfg.arch}' not available. "
                      f"Options: {cfg.arch_options}")
 

@@ -59,6 +59,7 @@ class ResNet101(nn.Module):
     layers: Sequence[int] = (3, 4, 23, 3)
     multi_grid: Sequence[int] = (1, 2, 4)
     dtype: Any = None
+    remat: bool = False  # rematerialize bottleneck activations (training)
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -76,21 +77,23 @@ class ResNet101(nn.Module):
         x = nn.relu(x)
         x = max_pool_3x3_s2_p1(x)
 
+        Block = nn.remat(Bottleneck) if self.remat else Bottleneck
+
         def layer(x, planes, blocks, stride, dilation, name,
                   grid=None):
             inplanes = x.shape[-1]
             needs_ds = stride != 1 or inplanes != planes * 4
             if grid is None:
-                x = Bottleneck(planes, stride, dilation, needs_ds, self.norm,
+                x = Block(planes, stride, dilation, needs_ds, self.norm,
                                self.dtype, name=f"{name}_0")(x)
                 for i in range(1, blocks):
-                    x = Bottleneck(planes, 1, dilation, False, self.norm,
+                    x = Block(planes, 1, dilation, False, self.norm,
                                    self.dtype, name=f"{name}_{i}")(x)
             else:  # multi-grid unit (reference resnet.py:105-122)
-                x = Bottleneck(planes, stride, grid[0] * dilation, needs_ds,
+                x = Block(planes, stride, grid[0] * dilation, needs_ds,
                                self.norm, self.dtype, name=f"{name}_0")(x)
                 for i in range(1, len(grid)):
-                    x = Bottleneck(planes, 1, grid[i] * dilation, False,
+                    x = Block(planes, 1, grid[i] * dilation, False,
                                    self.norm, self.dtype,
                                    name=f"{name}_{i}")(x)
             return x

@@ -111,9 +111,12 @@ class AlignedXception(nn.Module):
     output_stride: int = 16
     norm: Callable[..., nn.Module] = nn.BatchNorm
     dtype: Any = None
+    remat: bool = False  # rematerialize block activations (training)
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        global XBlock
+        Block = nn.remat(XBlock) if self.remat else XBlock
         if self.output_stride == 16:
             entry3_stride, mid_dil, exit_dil = 2, 1, (1, 2)
         elif self.output_stride == 8:
@@ -131,25 +134,25 @@ class AlignedXception(nn.Module):
         x = self.norm(name="bn2")(x)
         x = nn.relu(x)
 
-        x = XBlock(128, 2, stride=2, start_with_relu=False, norm=self.norm,
+        x = Block(128, 2, stride=2, start_with_relu=False, norm=self.norm,
                    dtype=self.dtype, name="block1")(x)
         x = nn.relu(x)
         low_level_feat = x
-        x = XBlock(256, 2, stride=2, start_with_relu=False, grow_first=True,
+        x = Block(256, 2, stride=2, start_with_relu=False, grow_first=True,
                    norm=self.norm, dtype=self.dtype, name="block2")(x)
-        x = XBlock(728, 2, stride=entry3_stride, start_with_relu=True,
+        x = Block(728, 2, stride=entry3_stride, start_with_relu=True,
                    grow_first=True, is_last=True, norm=self.norm,
                    dtype=self.dtype, name="block3")(x)
 
         # middle flow: 16 blocks (reference block4..block19)
         for i in range(4, 20):
-            x = XBlock(728, 3, stride=1, dilation=mid_dil,
+            x = Block(728, 3, stride=1, dilation=mid_dil,
                        start_with_relu=True, grow_first=True,
                        norm=self.norm, dtype=self.dtype,
                        name=f"block{i}")(x)
 
         # exit flow
-        x = XBlock(1024, 2, stride=1, dilation=exit_dil[0],
+        x = Block(1024, 2, stride=1, dilation=exit_dil[0],
                    start_with_relu=True, grow_first=False, is_last=True,
                    norm=self.norm, dtype=self.dtype, name="block20")(x)
         x = nn.relu(x)

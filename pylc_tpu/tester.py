@@ -89,7 +89,10 @@ def test(cfg: Config, model_path: str, img_path: str,
                 print(f"    F1 {m['f1']:.4f}  IoU {m['iou']:.4f}  "
                       f"MCC {m['mcc']:.4f}")
         if save_logits:
-            evaluator.save_logits(res["class_map"])
+            # the canvas class-probability map (the reference saves raw
+            # per-tile logits, utils/evaluate.py:189-208; the stitched
+            # probability canvas is this pipeline's equivalent artifact)
+            evaluator.save_logits(res["probs"])
         results.append({"fid": fid, "seconds": res["seconds"],
                         "megapixels": res["megapixels"],
                         "metrics": dict(evaluator.metrics.results)})
