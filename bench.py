@@ -40,7 +40,7 @@ def build_segmenter(crf=False):
     if crf:
         from pylc_tpu.ops.crf import make_crf
         crf_fn = make_crf(cfg)
-    return cfg, Segmenter(cfg, state, predict, batch_size=8, crf=crf_fn)
+    return cfg, Segmenter(cfg, state, predict, batch_size=16, crf=crf_fn)
 
 
 def synthetic_photo(cfg, mp_w=3872, mp_h=2592, seed=0):

@@ -46,7 +46,7 @@ class Segmenter:
     """
 
     def __init__(self, cfg: Config, state, predict_fn: Callable,
-                 batch_size: int = 8, crf: Optional[Callable] = None,
+                 batch_size: int = 16, crf: Optional[Callable] = None,
                  mesh=None):
         """mesh: optional jax.sharding.Mesh — when given, the tile batch
         is sharded over the mesh's 'data' axis (spatial scale-out: the

@@ -60,7 +60,7 @@ def test(cfg: Config, model_path: str, img_path: str,
         from pylc_tpu.ops.crf import make_crf
         crf = make_crf(cfg)
 
-    seg = Segmenter(cfg, state, predict, batch_size=8, crf=crf)
+    seg = Segmenter(cfg, state, predict, batch_size=16, crf=crf)
     evaluator = Evaluator(cfg)
     files = collate(img_path, mask_path)
     results = []
