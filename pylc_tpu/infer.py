@@ -193,6 +193,50 @@ class Segmenter:
             o["seconds"] = total / len(out)
         return out
 
+    def segment_stream(self, items, stride: Optional[int] = None):
+        """Generator over (tag, fitted_image) pairs with one-image device
+        lookahead: image k+1's program is enqueued before image k's
+        class map is fetched, so H2D/compute/D2H overlap even when every
+        photo has a different canvas shape.
+
+        Yields (tag, result-dict) in order."""
+        cfg = self.cfg
+        stride = stride or cfg.tile_size // 2
+        pal = np.asarray(cfg.palette_rgb, np.uint8)
+        from pylc_tpu import native
+
+        def enqueue(tag, img):
+            if img.ndim == 2:
+                img = img[..., None]
+            H, W = img.shape[:2]
+            key = (H, W, stride)
+            if key not in self._cache:
+                self._cache[key] = self._build(H, W, stride)
+            t0 = time.perf_counter()
+            class_map, canvas = self._cache[key](
+                self.state, jax.device_put(img))
+            return (tag, class_map, canvas, H, W, t0)
+
+        def finish(pending):
+            tag, class_map, canvas, H, W, t0 = pending
+            cm = np.asarray(class_map)  # sync point
+            return tag, {
+                "mask_rgb": native.colourize(cm, pal),
+                "class_map": cm,
+                "probs": canvas,
+                "seconds": time.perf_counter() - t0,
+                "megapixels": H * W / 1e6,
+            }
+
+        pending = None
+        for tag, img in items:
+            nxt = enqueue(tag, img)
+            if pending is not None:
+                yield finish(pending)
+            pending = nxt
+        if pending is not None:
+            yield finish(pending)
+
     def segment_file(self, img_path: str, scale: Optional[float] = None,
                      stride: Optional[int] = None) -> Dict:
         """Full reference test-path flow for one image file: decode ->

@@ -65,13 +65,62 @@ def test(cfg: Config, model_path: str, img_path: str,
     files = collate(img_path, mask_path)
     results = []
 
-    for fpair in files:
-        if isinstance(fpair, dict):
-            img_file, mask_file = fpair["img"], fpair["mask"]
-        else:
-            img_file, mask_file = fpair, None
+    # decode + grid-fit on a background thread; the device pipeline gets
+    # one-image lookahead via segment_stream
+    import queue
+    import threading
 
-        res = seg.segment_file(img_file, scale=scale)
+    import cv2
+
+    from pylc_tpu.utils.imageio import adjust_to_tile, get_image
+    from pylc_tpu.ops.tiles import grid_dims
+
+    stride = cfg.tile_size // 2
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    SENT = object()
+
+    def decode_worker():
+        try:
+            for fpair in files:
+                if isinstance(fpair, dict):
+                    img_file, mask_file = fpair["img"], fpair["mask"]
+                else:
+                    img_file, mask_file = fpair, None
+                img, w_full, h_full, w_s, h_s = get_image(
+                    img_file, cfg.ch, scale=scale or cfg.scale,
+                    tile_size=cfg.tile_size)
+                fitted, w_fit, h_fit, offset = adjust_to_tile(
+                    img, cfg.tile_size, stride)
+                meta = {
+                    "img_file": img_file, "mask_file": mask_file,
+                    "w_full": w_full, "h_full": h_full,
+                    "w_scaled": w_s, "h_scaled": h_s,
+                    "w_fitted": w_fit, "h_fitted": h_fit,
+                    "offset": offset,
+                }
+                q.put((meta, fitted))
+        finally:
+            q.put(SENT)
+
+    threading.Thread(target=decode_worker, daemon=True).start()
+
+    def feed():
+        while True:
+            item = q.get()
+            if item is SENT:
+                return
+            yield item
+
+    for meta, res in seg.segment_stream(feed(), stride=stride):
+        img_file, mask_file = meta["img_file"], meta["mask_file"]
+        nr, nc = grid_dims(meta["w_fitted"], meta["h_fitted"],
+                           cfg.tile_size, stride)
+        res["mask_rgb"] = cv2.resize(
+            res["mask_rgb"], (meta["w_scaled"], meta["h_scaled"]),
+            interpolation=cv2.INTER_NEAREST)
+        res["extract"] = dict(meta, n=nr * nc,
+                              fid=(img_file.split("/")[-1].replace(".", "_")
+                                   + "_scale_" + str(scale or cfg.scale)))
         fid = res["extract"]["fid"]
         if verbose:
             mp = res["megapixels"]
