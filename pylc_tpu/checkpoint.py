@@ -24,7 +24,6 @@ import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 from flax import serialization
 

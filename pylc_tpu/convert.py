@@ -18,13 +18,11 @@ This module maps those state_dicts onto pylc_tpu's flax parameter trees
 
 from __future__ import annotations
 
-import io
-import os
 import pickle
 import re
 import sys
 import types
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

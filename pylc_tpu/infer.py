@@ -24,7 +24,6 @@ stitching.  Recorded in docs/DEVIATIONS.md.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

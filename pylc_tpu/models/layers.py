@@ -18,7 +18,7 @@ reduction explicit for shard_map/pmap contexts.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ checks values and gradients on the interpret backend and vs jax.grad).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ Optimizer/scheduler parity (reference models/model.py:238-280):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

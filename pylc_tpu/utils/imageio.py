@@ -17,7 +17,7 @@ Behavior parity with reference utils/tools.py:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Union
 
 import cv2
 import numpy as np
