@@ -208,15 +208,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_multi_loss(logits, target, class_weights, w: LossWeights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_multi_loss(logits, target, class_weights, w: LossWeights,
+                     axis_name=None):
     """Drop-in for multi_loss(...)[0] with Pallas forward/backward.
 
     logits [B, H, W, C]; target [B, H, W] int; class_weights [C] or None.
     Returns (total, aux) like multi_loss; gradients flow only through
     total.
+
+    axis_name: when called per-shard inside shard_map/pmap over a data
+    axis, pass that axis name — the forward partials are psum'd across
+    shards so all three losses are computed over the GLOBAL batch, and
+    the analytic backward needs no further collectives (it only reads
+    the global reduced statistics).
     """
-    total, aux = _fused_fwd(logits, target, class_weights, w)[0]
+    total, aux = _fused_fwd(logits, target, class_weights, w, axis_name)[0]
     return total, aux
 
 
@@ -239,9 +246,12 @@ def _prep(logits, target, class_weights):
     return x2d, t2d, cw
 
 
-def _fused_fwd(logits, target, class_weights, w: LossWeights):
+def _fused_fwd(logits, target, class_weights, w: LossWeights,
+               axis_name=None):
     x2d, t2d, cw = _prep(logits, target, class_weights)
     acc = _fused_forward(x2d, t2d, cw, w)
+    if axis_name is not None:
+        acc = jax.lax.psum(acc, axis_name)
     total, ce, dice, focal = _losses_from_acc(
         acc, logits.shape[-1], w)
     aux = {"ce": ce, "dice": dice, "focal": focal}
@@ -250,8 +260,13 @@ def _fused_fwd(logits, target, class_weights, w: LossWeights):
     return out, residual
 
 
-def _fused_bwd(w: LossWeights, residual, cotangent):
+def _fused_bwd(w: LossWeights, axis_name, residual, cotangent):
     ct_total, _ct_aux = cotangent
+    if axis_name is not None:
+        # under shard_map the replicated-output transpose hands each
+        # shard ct/axis_size; the analytic dx is already per-shard-local
+        # w.r.t. the global loss, so undo that split
+        ct_total = ct_total * jax.lax.psum(1, axis_name)
     logits, target, class_weights, acc = residual
     x2d, t2d, cw = _prep(logits, target, class_weights)
     N, C = x2d.shape

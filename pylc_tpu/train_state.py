@@ -123,29 +123,52 @@ def _prepare_batch(cfg: Config, img, mask, flip: Optional[jnp.ndarray]):
     return x, mask
 
 
-def _select_loss(cfg: Config):
+def _select_loss(cfg: Config, mesh=None):
     """Pick the loss implementation: the Pallas fused kernel (forward
     partials + analytic-VJP backward, pylc_tpu/ops/pallas/fused_loss.py)
-    on TPU, the XLA-fused jnp version elsewhere."""
-    # auto: TPU single-chip only — GSPMD cannot partition a pallas_call
-    # over a sharded batch; the multi-chip path keeps the jnp loss until
-    # the kernel is wrapped in shard_map (tracked for round 2)
+    on TPU, the XLA-fused jnp version elsewhere.
+
+    Multi-chip: GSPMD cannot partition a pallas_call over a sharded
+    batch, so with a mesh of >1 devices the kernel runs per-shard under
+    shard_map with its partials psum'd over the 'data' axis
+    (tests/test_pallas_loss.py::test_fused_loss_sharded_matches_global).
+    """
     use_pallas = cfg.fused_loss == "on" or (
-        cfg.fused_loss == "auto" and jax.default_backend() == "tpu"
-        and jax.device_count() == 1)
-    if use_pallas:
-        from pylc_tpu.ops.pallas.fused_loss import fused_multi_loss
+        cfg.fused_loss == "auto" and jax.default_backend() == "tpu")
+    if not use_pallas:
+        return lambda logits, y, class_weights, w: multi_loss(
+            logits, y, class_weights=class_weights, w=w)
+
+    from pylc_tpu.ops.pallas.fused_loss import fused_multi_loss
+
+    if mesh is not None and mesh.devices.size > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
 
         def loss(logits, y, class_weights, w):
-            return fused_multi_loss(logits, y, class_weights, w)
+            def inner(lg, yy):
+                return fused_multi_loss(lg, yy, class_weights, w,
+                                        axis_name="data")
+            return shard_map(inner, mesh=mesh,
+                             in_specs=(P("data"), P("data")),
+                             out_specs=(P(), P()),
+                             check_vma=False)(logits, y)
         return loss
-    return lambda logits, y, class_weights, w: multi_loss(
-        logits, y, class_weights=class_weights, w=w)
+
+    if jax.device_count() > 1:
+        # no mesh handle: fall back to the jnp loss under plain GSPMD
+        return lambda logits, y, class_weights, w: multi_loss(
+            logits, y, class_weights=class_weights, w=w)
+
+    def loss(logits, y, class_weights, w):
+        return fused_multi_loss(logits, y, class_weights, w)
+    return loss
 
 
-def make_train_step(cfg: Config, model):
+def make_train_step(cfg: Config, model, mesh=None):
     """Build the jitted train step: (state, img u8, mask u8, rng) ->
-    (state, metrics)."""
+    (state, metrics).  Pass the mesh when training data-parallel so the
+    Pallas loss runs per-shard under shard_map."""
     lw = LossWeights(ce=cfg.ce_weight, dice=cfg.dice_weight,
                      focal=cfg.focal_weight, weighted=cfg.weighted,
                      dice_smooth=cfg.dice_smooth, fl_alpha=cfg.fl_alpha,
@@ -153,7 +176,7 @@ def make_train_step(cfg: Config, model):
     cw = jnp.asarray(np.asarray(cfg.weights, dtype=np.float32)) \
         if cfg.weights is not None else None
     has_bn = cfg.norm_type in ("batch", "syncbatch")
-    loss_impl = _select_loss(cfg)
+    loss_impl = _select_loss(cfg, mesh)
 
     def step(state: TrainState, img, mask, rng):
         flip_rng, drop_rng = jax.random.split(rng)

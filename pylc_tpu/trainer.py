@@ -86,7 +86,8 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         if verbose:
             print(f"Loaded pretrained encoder from {cfg.pretrained}")
     model_eval = build_model(cfg, train=False)
-    train_step = make_train_step(cfg, model)
+    train_step = make_train_step(cfg, model,
+                                 mesh=mesh if n_mesh > 1 else None)
     eval_step = make_eval_step(cfg, model_eval)
     lr_sched = make_lr_schedule(cfg, steps_per_epoch)
 

@@ -64,3 +64,44 @@ def test_fused_loss_gradient_scales_with_cotangent(rng):
         lambda x: 3.0 * fused_multi_loss(x, target, None, w)[0])(logits)
     np.testing.assert_allclose(np.asarray(g3), 3.0 * np.asarray(g1),
                                rtol=1e-5)
+
+
+def test_fused_loss_sharded_matches_global(rng):
+    """Per-shard kernel + psum partials under shard_map == global loss
+    (values and gradients) — the multi-chip training loss path."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pylc_tpu.parallel.mesh import get_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = get_mesh(8)
+    B, H, W, C = 16, 12, 12, 9
+    logits = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, C, size=(B, H, W)))
+    w = LossWeights()
+
+    def global_loss(lg):
+        return fused_multi_loss(lg, target, None, w)[0]
+
+    @jax.jit
+    def sharded_loss(lg, tg):
+        def inner(lg_s, tg_s):
+            return fused_multi_loss(lg_s, tg_s, None, w,
+                                    axis_name="data")[0]
+        # check_vma=False: pallas_call outputs don't carry varying-mesh
+        # annotations yet
+        return shard_map(inner, mesh=mesh, in_specs=(P("data"), P("data")),
+                         out_specs=P(), check_vma=False)(lg, tg)
+
+    lg_sh = jax.device_put(logits, NamedSharding(mesh, P("data")))
+    tg_sh = jax.device_put(target, NamedSharding(mesh, P("data")))
+    np.testing.assert_allclose(float(sharded_loss(lg_sh, tg_sh)),
+                               float(global_loss(logits)), rtol=1e-5)
+
+    g_ref = jax.grad(global_loss)(logits)
+    g_sh = jax.grad(
+        lambda lg: sharded_loss(lg, tg_sh))(lg_sh)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=2e-4, atol=1e-7)
