@@ -152,6 +152,9 @@ class RunningLoss:
         """Fold the interval buffer into an average; update best-dice on
         validation (reference loss.py:270-293)."""
         if not self.intv:
+            if not training:
+                # an empty validation must not re-trigger a stale best
+                self.is_best = False
             return
         self.intv = [tuple(float(x) for x in row) for row in self.intv]
         ce, dice, fl = (sum(v) / len(self.intv) for v in zip(*self.intv))

@@ -68,8 +68,12 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
 
     tr_ds = TileDataset(tr_db, batch_size=batch, shuffle=True,
                         drop_last=True, chunk_size=cfg.buffer_size)
-    va_ds = TileDataset(va_db, batch_size=batch, shuffle=False,
-                        drop_last=True, chunk_size=cfg.buffer_size)
+    # validation keeps partial batches — with a small DB the valid
+    # split can be smaller than one batch, and dropping it would starve
+    # validation entirely (stale metrics, best-model never saved)
+    va_ds = TileDataset(va_db, batch_size=min(batch, va_db.partition_size)
+                        or 1, shuffle=False,
+                        drop_last=False, chunk_size=cfg.buffer_size)
     steps_per_epoch = max(1, tr_ds.n_batches)
 
     # model + state
@@ -110,18 +114,25 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     sharding = batch_sharding(mesh, 4)
     mask_sharding = batch_sharding(mesh, 3)
 
-    def put(img, mask):
-        img = _pad_to(img, n_mesh)
-        mask = _pad_to(mask, n_mesh)
+    def put(img, mask, pad_to=None):
+        img = _pad_to(img, pad_to or n_mesh)
+        mask = _pad_to(mask, pad_to or n_mesh)
         return (jax.device_put(img, sharding),
                 jax.device_put(mask, mask_sharding))
 
     def validate(state, it, epoch):
         """Validate + checkpoint (the reference saves at every
         validation, train.py:146-151)."""
+        n_val = 0
         for img, mask in va_ds:
-            metrics = eval_step(state, *put(img, mask))
+            # pad partial batches to the full batch shape so the jitted
+            # eval step compiles once (metrics include the padding; the
+            # bias is bounded by pad/batch and only affects logging)
+            metrics = eval_step(state, *put(img, mask, pad_to=batch))
             loss.push(metrics)
+            n_val += 1
+        if n_val == 0 and verbose:
+            print("  warning: validation split is empty")
         loss.log(it, training=False)
         ckpt.save(state, cfg, epoch, is_best=loss.is_best)
         loss.save()

@@ -137,3 +137,24 @@ def test_db_meta_does_not_stomp_cli_arch(extracted_db, tiny_cfg):
     assert cfg.backbone == "xception"
     assert cfg.n_samples == 48            # data facts rehydrated
     assert cfg.px_mean is not None
+
+
+def test_validation_smaller_than_batch_still_tracks_best(extracted_db,
+                                                         tiny_cfg, tmp_path):
+    """Regression: a valid split smaller than the batch must still run
+    validation (padded partial batch) and save the best model."""
+    import json
+    from pylc_tpu.trainer import train
+    path, _ = extracted_db
+    # 48 tiles -> valid split 9; batch 32 > 9 would starve with drop_last
+    cfg = tiny_cfg.replace(
+        save_dir=str(tmp_path / "save3"), output_dir=str(tmp_path / "out3"),
+        batch_size=32, n_epochs=1)
+    summary = train(cfg, path, n_devices=1, verbose=False)
+    model_dir = os.path.join(cfg.save_dir, summary["model_id"])
+    with open(os.path.join(model_dir, "losses.json")) as f:
+        d = json.load(f)
+    assert len(d["valid"]) >= 2          # initial + end-of-epoch
+    assert d["best_dice"] < 1.0          # best actually tracked
+    assert os.path.exists(os.path.join(
+        model_dir, summary["model_id"] + ".ckpt"))
