@@ -76,6 +76,13 @@ def unfold_tiles(img: jnp.ndarray, tile_size: int, stride: int
     H, W, C = img.shape
     n_rows = (H - tile_size) // stride + 1
     n_cols = (W - tile_size) // stride + 1
+    # drop the remainder that doesn't fit the grid (torch unfold
+    # semantics — e.g. multi-scale extraction on non-multiple dims)
+    Heff = (n_rows - 1) * stride + tile_size
+    Weff = (n_cols - 1) * stride + tile_size
+    if (Heff, Weff) != (H, W):
+        img = img[:Heff, :Weff]
+        H, W = Heff, Weff
 
     if stride == tile_size:
         # pure reshape/transpose — zero-copy layout change under XLA

@@ -158,3 +158,55 @@ def test_validation_smaller_than_batch_still_tracks_best(extracted_db,
     assert d["best_dice"] < 1.0          # best actually tracked
     assert os.path.exists(os.path.join(
         model_dir, summary["model_id"] + ".ckpt"))
+
+
+def test_multiscale_extraction(synthetic_dataset, tiny_cfg):
+    """scales=[0.5, 1.0] extracts tiles at both pyramid levels
+    (reference utils/extract.py:133 loops scales)."""
+    from pylc_tpu.extract import Extractor
+    img_dir, mask_dir, _ = synthetic_dataset
+    cfg = tiny_cfg.replace(scales=[0.5, 1.0])
+    ex = Extractor(cfg).load(img_dir, mask_dir).extract(verbose=False)
+    # 256x192 at scale 1.0 -> 4x3 grid = 12 tiles; at 0.5 the min-dim
+    # clamp (tools.py:139-145) keeps the 64px tiles extractable
+    n_full = sum(len(t) for t in ex.imgs)
+    assert n_full > 4 * 12  # both scales contributed
+    assert ex.meta.n_tiles == n_full
+
+
+def test_aggregate_metrics_and_tex(extracted_db, tiny_cfg, tmp_path, rng):
+    """Aggregate evaluation pools all images (reference test.py:113-115)
+    and the LaTeX artifact renders."""
+    from pylc_tpu.evaluate import Evaluator
+    from pylc_tpu.config import Schema, DEFAULT_SCHEMA
+    schema = Schema.load(DEFAULT_SCHEMA)
+    palette = np.array(schema.palette_rgb, np.uint8)
+    cfg = tiny_cfg.replace(output_dir=str(tmp_path / "o"), id="agg")
+    ev = Evaluator(cfg)
+    for i in range(3):
+        cm_true = rng.integers(0, 9, (32, 32)).astype(np.uint8)
+        cm_pred = cm_true.copy()
+        flip = rng.random((32, 32)) < 0.2
+        cm_pred[flip] = (cm_pred[flip] + 1) % 9
+        # route through the RGB path like the real pipeline
+        import cv2
+        tp = str(tmp_path / f"t{i}.png")
+        cv2.imwrite(tp, cv2.cvtColor(palette[cm_true], cv2.COLOR_RGB2BGR))
+        ev.load(palette[cm_pred], f"img{i}", mask_true_path=tp)
+    ev.evaluate(aggregate=True)
+    m = ev.metrics.results
+    assert 0.7 < m["f1"] < 0.95      # 20% corruption
+    assert ev.fid == "aggregate_metrics"
+    tex = ev.save_tex()
+    content = open(tex).read()
+    assert "\\begin{table}" in content and "NC" in content
+
+
+def test_db_clip_fraction(extracted_db):
+    """clip uses a fraction of the dataset (reference db/database.py:71)."""
+    from pylc_tpu.db.database import TileDB
+    path, _ = extracted_db
+    db = TileDB(path, clip=0.5)
+    assert db.size == 24  # half of 48
+    full = TileDB(path)
+    assert full.size == 48
