@@ -210,3 +210,49 @@ def test_db_clip_fraction(extracted_db):
     assert db.size == 24  # half of 48
     full = TileDB(path)
     assert full.size == 48
+
+
+def test_grayscale_pipeline_e2e(tmp_path, rng):
+    """ch=1 end-to-end: extract grayscale -> train -> full-image test
+    (half the published reference models are grayscale, README tables)."""
+    import cv2
+    from pylc_tpu.config import Schema, DEFAULT_SCHEMA
+    from pylc_tpu.extract import Extractor
+    from pylc_tpu.trainer import train
+    from pylc_tpu.tester import test as run_test
+
+    schema = Schema.load(DEFAULT_SCHEMA)
+    palette = np.array(schema.palette_rgb, np.uint8)
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    for i in range(3):
+        H, W = 128, 192
+        g = rng.integers(0, 256, (H, W)).astype(np.uint8)
+        img = np.stack([g, g, g], -1)  # grayscale jpg (equal channels)
+        cmap = np.broadcast_to((np.arange(W) * 9 // W).astype(np.uint8),
+                               (H, W))
+        cv2.imwrite(str(img_dir / f"g{i}.jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 100])
+        cv2.imwrite(str(mask_dir / f"g{i}.png"),
+                    cv2.cvtColor(palette[cmap], cv2.COLOR_RGB2BGR))
+
+    cfg = Config().replace(
+        ch=1, tile_size=TILE, stride=TILE, input_size=TILE, output_size=24,
+        unet_depth=3, unet_wf=3, arch="unet", batch_size=4, n_epochs=1,
+        buffer_size=64, dropout=0.0, report=4,
+        save_dir=str(tmp_path / "save"), output_dir=str(tmp_path / "out"))
+
+    ex = Extractor(cfg).load(str(img_dir), str(mask_dir))
+    db = ex.extract(verbose=False).coshuffle().profile().save(str(tmp_path))
+    from pylc_tpu.db.database import TileDB
+    assert TileDB(db).img_shape[1] == 1  # single channel stored
+
+    summary = train(cfg, db, n_devices=1, verbose=False)
+    model = os.path.join(cfg.save_dir, summary["model_id"],
+                         summary["model_id"] + ".ckpt")
+    assert os.path.exists(model)
+    results = run_test(cfg, model, str(img_dir / "g0.jpg"),
+                       mask_path=str(mask_dir / "g0.png"), verbose=False)
+    assert 0.0 <= results[0]["metrics"]["f1"] <= 1.0
