@@ -115,3 +115,9 @@ def collate(img_dir: str, mask_dir: Optional[str] = None
         raise FileNotFoundError(
             "Image not found for mask(s): " + ", ".join(unused))
     return pairs
+
+
+def rgb2hex(color) -> str:
+    """RGB triple -> hex string (reference utils/tools.py:24-39)."""
+    r, g, b = (int(c) for c in color[:3])
+    return f"#{r:02x}{g:02x}{b:02x}"

@@ -98,3 +98,26 @@ def test_xception_tiny_forward(rng):
     feat, ll = model.apply(v, x)
     assert feat.shape == (1, 4, 4, 2048)
     assert ll.shape == (1, 16, 16, 128)
+
+
+def test_prepare_batch_grayscale_deeplab_stacking(rng):
+    """ch=1 inputs are normalized then stacked to 3 channels for DeepLab
+    (reference models/model.py:310-311, 416-435)."""
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import _prepare_batch
+    cfg = Config().replace(arch="deeplab", ch=1,
+                           px_mean=[100.0], px_std=[20.0])
+    img = rng.integers(0, 256, (2, 16, 16, 1)).astype(np.uint8)
+    x, _ = _prepare_batch(cfg, jnp.asarray(img), None, None)
+    assert x.shape == (2, 16, 16, 3)
+    want = ((img[..., 0].astype(np.float32) - 100.0) / 20.0) / 255.0
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(x[..., c]), want, rtol=1e-6)
+
+
+def test_rgb2hex_matches_schema():
+    from pylc_tpu.utils.imageio import rgb2hex
+    from pylc_tpu.config import Schema, DEFAULT_SCHEMA
+    s = Schema.load(DEFAULT_SCHEMA)
+    for rgb, hx in zip(s.palette_rgb, s.palette_hex):
+        assert rgb2hex(rgb) == hx
