@@ -12,7 +12,14 @@ Modes:
   python bench.py --mode pipeline # N-photo extract->infer->CRF->stitch
   python bench.py --mode crf      # CRF-refined single-image pipeline
   python bench.py --mode train    # train-step throughput (tiles/s)
+  python bench.py --mode all      # every BASELINE.md row (one JSON/line)
   python bench.py --trace DIR     # capture a jax.profiler trace
+
+All timings force completion with a device->host fetch (np.asarray):
+jax.block_until_ready does NOT synchronize on the tunneled 'axon'
+backend, so timings taken with it under-measure (this is why round-1
+docs disagreed on the train number — 72.9 was dispatch-only, 46 was
+synced).  BASELINE.md quotes `--mode all` output verbatim.
 """
 
 import argparse
@@ -22,6 +29,12 @@ import sys
 import time
 
 TARGET_PER_CHIP = 10.0 / 2.0 / 8  # MP/s/chip north-star
+
+
+def _fetch(x):
+    """Force device completion via an actual D2H fetch (axon-safe)."""
+    import numpy as np
+    return np.asarray(x)
 
 
 def build_segmenter(crf=False):
@@ -58,7 +71,7 @@ def bench_infer(use_crf=False, repeats=3):
     seg.segment_array(fitted)  # compile
     times = []
     for _ in range(repeats):
-        res = seg.segment_array(fitted)
+        res = seg.segment_array(fitted)  # segment_array fetches the mask
         times.append(res["seconds"])
     mps = res["megapixels"] / min(times)
     label = "tile->infer->CRF->stitch" if use_crf else "tile->infer->stitch"
@@ -74,7 +87,6 @@ def bench_infer(use_crf=False, repeats=3):
 def bench_pipeline(n_photos=10, use_crf=True):
     """Batched pipeline (BASELINE.json config 5, scaled by --photos):
     distinct decoded photos through fit->tile->infer->CRF->stitch."""
-    import numpy as np
     cfg, seg = build_segmenter(crf=use_crf)
     photos = [synthetic_photo(cfg, seed=i) for i in range(n_photos)]
     seg.segment_array(photos[0])  # compile once (same canvas shape)
@@ -91,7 +103,7 @@ def bench_pipeline(n_photos=10, use_crf=True):
     }
 
 
-def bench_train(steps=10, batch=8):
+def bench_train(steps=20, batch=8):
     import jax
     import numpy as np
     from pylc_tpu.config import Config
@@ -106,12 +118,12 @@ def bench_train(steps=10, batch=8):
     mask = rng.integers(0, cfg.n_classes, (batch, 512, 512)).astype(np.uint8)
     key = jax.random.PRNGKey(0)
     state, m = step(state, img, mask, key)  # compile
-    jax.block_until_ready(m["total"])
+    _fetch(m["total"])
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
         state, m = step(state, img, mask, sub)
-    jax.block_until_ready(m["total"])
+    _fetch(m["total"])  # actual D2H sync (axon-safe)
     dt = time.perf_counter() - t0
     tiles_s = steps * batch / dt
     return {
@@ -126,8 +138,10 @@ def bench_train(steps=10, batch=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="infer",
-                    choices=("infer", "crf", "pipeline", "train"))
+                    choices=("infer", "crf", "pipeline", "train", "all"))
     ap.add_argument("--photos", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--trace", default=None, metavar="DIR")
     args = ap.parse_args()
 
@@ -138,14 +152,20 @@ def main():
 
     with ctx:
         if args.mode == "infer":
-            out = bench_infer()
+            print(json.dumps(bench_infer()))
         elif args.mode == "crf":
-            out = bench_infer(use_crf=True)
+            print(json.dumps(bench_infer(use_crf=True)))
         elif args.mode == "pipeline":
-            out = bench_pipeline(args.photos)
-        else:
-            out = bench_train()
-    print(json.dumps(out))
+            print(json.dumps(bench_pipeline(args.photos)))
+        elif args.mode == "train":
+            print(json.dumps(bench_train(steps=args.steps,
+                                         batch=args.batch)))
+        else:  # all: every BASELINE.md row, pinned configs
+            print(json.dumps(bench_infer()))
+            print(json.dumps(bench_infer(use_crf=True)))
+            print(json.dumps(bench_pipeline(args.photos)))
+            print(json.dumps(bench_train(steps=args.steps, batch=8)))
+            print(json.dumps(bench_train(steps=args.steps, batch=16)))
 
 
 if __name__ == "__main__":

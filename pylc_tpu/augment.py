@@ -159,7 +159,18 @@ def merge_dbs(db_paths: List[str], out_path: str,
     meta = None
     for p in db_paths:
         db = TileDB(p)
-        meta = db.get_meta(base=cfg) if meta is None else meta
+        m = db.get_meta(base=cfg)
+        if meta is None:
+            meta = m
+        else:
+            # incompatible DBs would silently produce a corrupt merge
+            # stamped with the first DB's meta
+            for field in ("ch", "tile_size", "schema", "n_classes"):
+                a, b = getattr(meta, field), getattr(m, field)
+                if a != b:
+                    raise ValueError(
+                        f"Cannot merge {p}: {field}={b!r} differs from "
+                        f"{db_paths[0]}'s {field}={a!r}.")
         for im, mk in db.iter_chunks(1024):
             imgs.append(im)
             masks.append(mk)

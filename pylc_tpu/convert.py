@@ -138,15 +138,41 @@ def _convert_separable(p: Dict, s: Dict, flax_path: Tuple[str, ...],
     _put_conv(p, flax_path + ("pointwise",), sd, torch_prefix + ".pointwise")
 
 
-def convert_xception_backbone(sd: Dict, prefix: str = ""
-                              ) -> Tuple[Dict, Dict]:
-    """Reference AlignedXception state_dict -> pylc_tpu subtrees."""
+def convert_xception_backbone(sd: Dict, prefix: str = "",
+                              strict: bool = True) -> Tuple[Dict, Dict]:
+    """Reference AlignedXception state_dict -> pylc_tpu subtrees.
+
+    ``strict=False`` skips missing source keys (partial zoo-format
+    checkpoints expanded by ``expand_zoo_xception_state_dict`` lack the
+    aligned variant's separable-internal BNs and conv4)."""
     p: Dict = {}
     s: Dict = {}
-    _put_conv(p, ("conv1",), sd, prefix + "conv1")
-    _put_bn(p, s, ("bn1",), sd, prefix + "bn1")
-    _put_conv(p, ("conv2",), sd, prefix + "conv2")
-    _put_bn(p, s, ("bn2",), sd, prefix + "bn2")
+
+    def put_conv(*args, **kw):
+        try:
+            _put_conv(*args, **kw)
+        except KeyError:
+            if strict:
+                raise
+
+    def put_bn(*args, **kw):
+        try:
+            _put_bn(*args, **kw)
+        except KeyError:
+            if strict:
+                raise
+
+    def put_separable(pp, ss, flax_path, sdd, torch_prefix):
+        put_conv(pp, flax_path + ("depthwise",), sdd,
+                 torch_prefix + ".conv1", depthwise=True)
+        put_bn(pp, ss, flax_path + ("bn",), sdd, torch_prefix + ".bn")
+        put_conv(pp, flax_path + ("pointwise",), sdd,
+                 torch_prefix + ".pointwise")
+
+    put_conv(p, ("conv1",), sd, prefix + "conv1")
+    put_bn(p, s, ("bn1",), sd, prefix + "bn1")
+    put_conv(p, ("conv2",), sd, prefix + "conv2")
+    put_bn(p, s, ("bn2",), sd, prefix + "bn2")
 
     # blocks 1..20: walk 'blockN.rep.<i>' modules in index order; each
     # index is either a SeparableConv2d ('.pointwise.' keys) or a BN.
@@ -161,19 +187,18 @@ def convert_xception_backbone(sd: Dict, prefix: str = ""
         for i in idxs:
             tp = f"{bp}rep.{i}"
             if tp + ".pointwise.weight" in sd:
-                _convert_separable(p, s, (f"block{n}", f"sep{sep_i}"),
-                                   sd, tp)
+                put_separable(p, s, (f"block{n}", f"sep{sep_i}"), sd, tp)
                 sep_i += 1
             elif tp + ".running_mean" in sd:
-                _put_bn(p, s, (f"block{n}", f"sepbn{bn_i}"), sd, tp)
+                put_bn(p, s, (f"block{n}", f"sepbn{bn_i}"), sd, tp)
                 bn_i += 1
         if bp + "skip.weight" in sd:
-            _put_conv(p, (f"block{n}", "skip"), sd, bp + "skip")
-            _put_bn(p, s, (f"block{n}", "skipbn"), sd, bp + "skipbn")
+            put_conv(p, (f"block{n}", "skip"), sd, bp + "skip")
+            put_bn(p, s, (f"block{n}", "skipbn"), sd, bp + "skipbn")
 
     for i in (3, 4, 5):
-        _convert_separable(p, s, (f"conv{i}",), sd, f"{prefix}conv{i}")
-        _put_bn(p, s, (f"bn{i}",), sd, f"{prefix}bn{i}")
+        put_separable(p, s, (f"conv{i}",), sd, f"{prefix}conv{i}")
+        put_bn(p, s, (f"bn{i}",), sd, f"{prefix}bn{i}")
     return p, s
 
 
@@ -263,6 +288,97 @@ def load_resnet101_imagenet(pth_path: str, state):
     # drop the fc head; keep conv/bn keys that exist in our tree
     sd = {k: v for k, v in sd.items() if not k.startswith("fc.")}
     params, stats = convert_resnet_backbone(sd, "")
+    return _graft_subtree(state, ("backbone",), params, stats)
+
+
+def expand_zoo_xception_state_dict(sd: Dict) -> Dict:
+    """Model-zoo ``xception-b5690688`` keys -> AlignedXception keys.
+
+    This is the block-replication mapping the reference INTENDS at
+    models/backbone/xception.py:258-283 (zoo middle block11 replicated
+    into aligned blocks 11-19, block12 -> exit block20, bn3 doubled into
+    bn4, conv4/bn4 -> conv5/bn5, 2-d pointwise weights unsqueezed to
+    [O,I,1,1]).  As written the reference loop tests ``k in model_dict``
+    against an *empty* dict, so it silently loads nothing — documented
+    as DEVIATIONS F13; here the intended semantics are implemented.
+    """
+    import torch
+
+    out: Dict = {}
+    for k, v in sd.items():
+        if k.startswith("fc."):
+            continue
+        if "pointwise" in k and v.ndim == 2:
+            v = v.unsqueeze(-1).unsqueeze(-1)
+        if k.startswith("block11"):
+            out[k] = v
+            for n in range(12, 20):
+                out[k.replace("block11", f"block{n}")] = v
+        elif k.startswith("block12"):
+            out[k.replace("block12", "block20")] = v
+        elif k.startswith("bn3"):
+            out[k] = v
+            out[k.replace("bn3", "bn4")] = v
+        elif k.startswith("conv4"):
+            out[k.replace("conv4", "conv5")] = v
+        elif k.startswith("bn4"):
+            out[k.replace("bn4", "bn5")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def load_xception_imagenet(pth_path: str, state, verbose: bool = False):
+    """Overlay ImageNet AlignedXception weights onto a DeepLab state's
+    backbone from a zoo-format ``xception-b5690688.pth``.
+
+    The zoo checkpoint covers only part of the aligned architecture
+    (its SeparableConv2d has no internal BN; aligned conv4 has no zoo
+    source), so the overlay is partial: present, shape-compatible
+    leaves are grafted; the rest keep their fresh init.  Raises if
+    nothing at all maps (a wrong file should fail loudly, not train
+    from scratch silently)."""
+    data = load_reference_pth(pth_path)
+    sd = data if isinstance(data, dict) and "conv1.weight" in data else \
+        data.get("state_dict", data)
+    sd = expand_zoo_xception_state_dict(sd)
+    params, stats = convert_xception_backbone(sd, "", strict=False)
+
+    # drop leaves whose shapes disagree with the target tree (zoo entry
+    # flow differs from the aligned variant in a few places)
+    import jax
+
+    def prune(src: Dict, dst, path=""):
+        kept = 0
+        for k in list(src.keys()):
+            v = src[k]
+            if isinstance(v, dict):
+                if k not in dst:
+                    del src[k]
+                    continue
+                kept += prune(v, dst[k], f"{path}/{k}")
+                if not v:
+                    del src[k]
+            else:
+                if k not in dst or tuple(dst[k].shape) != tuple(v.shape):
+                    if verbose:
+                        print(f"  skip {path}/{k} (shape "
+                              f"{getattr(v, 'shape', None)})")
+                    del src[k]
+                else:
+                    kept += 1
+        return kept
+
+    tgt_p = _unfreeze(jax.device_get(state.params))["backbone"]
+    tgt_s = _unfreeze(jax.device_get(state.batch_stats))["backbone"]
+    n_p = prune(params, tgt_p)
+    n_s = prune(stats, tgt_s)
+    if n_p == 0:
+        raise ValueError(
+            f"{pth_path}: no xception backbone weights mapped — not a "
+            "zoo xception state_dict?")
+    if verbose:
+        print(f"  xception pretrained: {n_p} param + {n_s} stat leaves")
     return _graft_subtree(state, ("backbone",), params, stats)
 
 

@@ -171,9 +171,14 @@ class Segmenter:
 
         t0 = time.perf_counter()
         pending = []
-        for img in imgs:
+        for i, img in enumerate(imgs):
             if img.ndim == 2:
                 img = img[..., None]
+            if img.shape[:2] != (H, W):
+                raise ValueError(
+                    f"segment_many requires uniform shapes: imgs[{i}] is "
+                    f"{img.shape[:2]}, imgs[0] is {(H, W)} — use "
+                    "segment_stream for mixed-shape batches.")
             dev = jax.device_put(img)  # async H2D
             class_map, _ = run(self.state, dev)
             pending.append(class_map)  # no sync — keep the pipe full

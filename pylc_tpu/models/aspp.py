@@ -9,8 +9,8 @@ with BN + ReLU + dropout(0.5).
 TPU note: the five branches read the same [B, H/16, W/16, 2048] input —
 XLA schedules them as independent fused convolutions on the MXU; the
 concat+1x1 lowers into a single matmul over the stacked channel dim.
-A Pallas-fused variant (single pass, shared input tile in VMEM) lives in
-pylc_tpu/ops/pallas/ (benchmark-gated).
+Whether a hand-fused Pallas variant can beat this is a measured
+question: see docs/ASPP_PROFILE.md for the device-profile evidence.
 """
 
 from __future__ import annotations

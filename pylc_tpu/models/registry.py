@@ -12,12 +12,21 @@ from pylc_tpu.models.unet import UNet
 
 
 def build_model(cfg: Config, train: bool = False,
-                axis_name: str = "data") -> nn.Module:
+                axis_name: str | None = None) -> nn.Module:
     """Instantiate the configured architecture.
 
     The normalizer factory is bound to the train/eval phase here (flax
     BatchNorm needs ``use_running_average`` at construction, unlike
     torch's mode flag).
+
+    ``axis_name`` is only for explicit shard_map/pmap contexts where a
+    named mesh axis is in scope.  Under the default GSPMD ``jit`` path it
+    MUST stay ``None``: a bound axis name makes flax BatchNorm call
+    ``pmean`` against an axis that plain jit never binds (unbound-axis
+    NameError), and GSPMD already reduces batch statistics globally over
+    a batch-sharded input, so ``norm_type='syncbatch'`` coincides with
+    ``'batch'`` there (see models/layers.py docstring and
+    tests/test_syncbn.py).
     """
     import jax.numpy as jnp
 

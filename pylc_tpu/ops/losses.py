@@ -42,7 +42,8 @@ class LossWeights(NamedTuple):
 
 def multi_loss(logits: jnp.ndarray, target: jnp.ndarray,
                class_weights: Optional[jnp.ndarray] = None,
-               w: LossWeights = LossWeights()):
+               w: LossWeights = LossWeights(),
+               sample_mask: Optional[jnp.ndarray] = None):
     """Fused CE + Dice + Focal.
 
     Parameters
@@ -52,6 +53,11 @@ def multi_loss(logits: jnp.ndarray, target: jnp.ndarray,
     target: [B, H, W] integer class map.
     class_weights: [C] CE class weights (profile inverse-log weights,
         reference utils/profile.py:129-130), used when ``w.weighted``.
+    sample_mask: optional [B] 0/1 weights excluding padded samples from
+        every reduction — equal, for mask = [1]*n + [0]*pad, to calling
+        multi_loss on the first n samples.  Used by validation so padded
+        partial batches don't bias the metrics (and hence best-dice
+        checkpoint gating).
 
     Returns (total, aux) with aux = dict(ce, dice, focal).
     """
@@ -61,18 +67,32 @@ def multi_loss(logits: jnp.ndarray, target: jnp.ndarray,
     p = jnp.exp(logp)
     onehot = jax.nn.one_hot(target, C, dtype=logits.dtype)
 
+    if sample_mask is not None:
+        m = sample_mask.astype(logits.dtype)[:, None, None]  # [B,1,1]
+        hw = logits.shape[1] * logits.shape[2]
+        n_px = jnp.sum(m) * hw
+    else:
+        m = None
+        n_px = None
+
     # --- cross entropy ---
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
     if w.weighted and class_weights is not None:
         cw = class_weights.astype(logits.dtype)
         px_w = jnp.take(cw, target)
+        if m is not None:
+            px_w = px_w * m
         ce = jnp.sum(nll * px_w) / jnp.sum(px_w)
+    elif m is not None:
+        ce = jnp.sum(nll * m) / n_px
     else:
         ce = jnp.mean(nll)
 
     # --- soft dice ---
-    intersection = jnp.sum(p * onehot, axis=(0, 1, 2))  # [C]
-    cardinality = jnp.sum(p + onehot, axis=(0, 1, 2))  # [C]
+    p_d = p if m is None else p * m[..., None]
+    oh_d = onehot if m is None else onehot * m[..., None]
+    intersection = jnp.sum(p_d * oh_d, axis=(0, 1, 2))  # [C]
+    cardinality = jnp.sum(p_d + oh_d, axis=(0, 1, 2))  # [C]
     dice = 1.0 - (2.0 * intersection + w.dice_smooth) / (
         cardinality + w.dice_smooth)
     dice = jnp.mean(dice)
@@ -81,7 +101,11 @@ def multi_loss(logits: jnp.ndarray, target: jnp.ndarray,
     p_eps = p + w.eps
     focal_map = -w.fl_alpha * jnp.power(1.0 - p_eps, w.fl_gamma) * \
         jnp.log(p_eps)
-    focal = jnp.mean(jnp.sum(onehot * focal_map, axis=-1))
+    focal_px = jnp.sum(onehot * focal_map, axis=-1)
+    if m is not None:
+        focal = jnp.sum(focal_px * m) / n_px
+    else:
+        focal = jnp.mean(focal_px)
 
     total = w.ce * ce + w.dice * dice + w.focal * focal
     return total, {"ce": ce, "dice": dice, "focal": focal}

@@ -20,7 +20,7 @@ Equivalence note: for stride = tile/2 the reference averages the two
 softmaxes on interior seams (same as our mean) but re-softmaxes
 already-averaged probabilities at row seams, which perturbs corner
 pixels' probabilities while preserving per-pixel argmax ordering almost
-everywhere.  tests/test_stitch.py checks argmax agreement against a
+everywhere.  tests/test_tiles.py checks argmax agreement against a
 faithful numpy port of the reference algorithm.
 """
 

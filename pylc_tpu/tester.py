@@ -65,10 +65,12 @@ def test(cfg: Config, model_path: str, img_path: str,
     files = collate(img_path, mask_path)
     results = []
 
-    # decode + grid-fit on a background thread; the device pipeline gets
-    # one-image lookahead via segment_stream
-    import queue
-    import threading
+    # decode + grid-fit on a background thread pool sized by
+    # --n_workers (the reference's DataLoader worker count,
+    # reference utils/argparse.py "--n_workers"); the device pipeline
+    # gets one-image lookahead via segment_stream
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     import cv2
 
@@ -76,40 +78,43 @@ def test(cfg: Config, model_path: str, img_path: str,
     from pylc_tpu.ops.tiles import grid_dims
 
     stride = cfg.tile_size // 2
-    q: "queue.Queue" = queue.Queue(maxsize=2)
-    SENT = object()
+    n_workers = max(1, int(cfg.n_workers or 0) or 1)
 
-    def decode_worker():
-        try:
-            for fpair in files:
-                if isinstance(fpair, dict):
-                    img_file, mask_file = fpair["img"], fpair["mask"]
-                else:
-                    img_file, mask_file = fpair, None
-                img, w_full, h_full, w_s, h_s = get_image(
-                    img_file, cfg.ch, scale=scale or cfg.scale,
-                    tile_size=cfg.tile_size)
-                fitted, w_fit, h_fit, offset = adjust_to_tile(
-                    img, cfg.tile_size, stride)
-                meta = {
-                    "img_file": img_file, "mask_file": mask_file,
-                    "w_full": w_full, "h_full": h_full,
-                    "w_scaled": w_s, "h_scaled": h_s,
-                    "w_fitted": w_fit, "h_fitted": h_fit,
-                    "offset": offset,
-                }
-                q.put((meta, fitted))
-        finally:
-            q.put(SENT)
-
-    threading.Thread(target=decode_worker, daemon=True).start()
+    def decode(fpair):
+        if isinstance(fpair, dict):
+            img_file, mask_file = fpair["img"], fpair["mask"]
+        else:
+            img_file, mask_file = fpair, None
+        img, w_full, h_full, w_s, h_s = get_image(
+            img_file, cfg.ch, scale=scale or cfg.scale,
+            tile_size=cfg.tile_size)
+        fitted, w_fit, h_fit, offset = adjust_to_tile(
+            img, cfg.tile_size, stride)
+        meta = {
+            "img_file": img_file, "mask_file": mask_file,
+            "w_full": w_full, "h_full": h_full,
+            "w_scaled": w_s, "h_scaled": h_s,
+            "w_fitted": w_fit, "h_fitted": h_fit,
+            "offset": offset,
+        }
+        return meta, fitted
 
     def feed():
-        while True:
-            item = q.get()
-            if item is SENT:
-                return
-            yield item
+        # in-order results with a bounded decode lookahead (decoded
+        # 10 MP images are ~30 MB each — don't decode the whole set)
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs: deque = deque()
+            it = iter(files)
+            done = False
+            while True:
+                while not done and len(futs) < n_workers + 2:
+                    try:
+                        futs.append(ex.submit(decode, next(it)))
+                    except StopIteration:
+                        done = True
+                if not futs:
+                    return
+                yield futs.popleft().result()
 
     for meta, res in seg.segment_stream(feed(), stride=stride):
         img_file, mask_file = meta["img_file"], meta["mask_file"]
@@ -150,6 +155,7 @@ def test(cfg: Config, model_path: str, img_path: str,
     if aggregate_metrics:
         evaluator.evaluate(aggregate=True)
         evaluator.save_metrics()
+        evaluator.save_tex()  # LaTeX table (reference utils/tex.py:20-100)
         results.append({"fid": "aggregate",
                         "metrics": dict(evaluator.metrics.results)})
     return results

@@ -205,7 +205,13 @@ def make_train_step(cfg: Config, model, mesh=None):
 
 
 def make_eval_step(cfg: Config, model_eval):
-    """Jitted validation step: (state, img, mask) -> metrics."""
+    """Jitted validation step: (state, img, mask, n_valid) -> metrics.
+
+    ``n_valid`` (traced scalar) excludes padded samples at the batch
+    tail from every loss reduction, so partial validation batches padded
+    up to the compiled batch shape don't bias the metrics that gate the
+    best-dice checkpoint (reference train.py:146-151 never pads because
+    it recompiles nothing)."""
     lw = LossWeights(ce=cfg.ce_weight, dice=cfg.dice_weight,
                      focal=cfg.focal_weight, weighted=cfg.weighted,
                      dice_smooth=cfg.dice_smooth, fl_alpha=cfg.fl_alpha,
@@ -214,13 +220,15 @@ def make_eval_step(cfg: Config, model_eval):
         if cfg.weights is not None else None
     has_bn = cfg.norm_type in ("batch", "syncbatch")
 
-    def step(state: TrainState, img, mask):
+    def step(state: TrainState, img, mask, n_valid):
         x, y = _prepare_batch(cfg, img, mask.astype(jnp.int32), None)
         variables = {"params": state.params}
         if has_bn:
             variables["batch_stats"] = state.batch_stats
         logits = model_eval.apply(variables, x, train=False)
-        total, aux = multi_loss(logits, y, class_weights=cw, w=lw)
+        sm = (jnp.arange(img.shape[0]) < n_valid).astype(jnp.float32)
+        total, aux = multi_loss(logits, y, class_weights=cw, w=lw,
+                                sample_mask=sm)
         return dict(aux, total=total)
 
     return jax.jit(step)

@@ -45,7 +45,9 @@ def _pad_to(batch, n):
     if b % n == 0:
         return batch
     pad = n - b % n
-    return np.concatenate([batch, batch[-pad:]], axis=0)
+    # repeat the last row: batch[-pad:] would under-fill when pad > b
+    return np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)],
+                          axis=0)
 
 
 def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
@@ -81,14 +83,31 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     state, model = init_state(cfg, rng, steps_per_epoch)
 
     # overlay pretrained ImageNet encoder weights (reference
-    # models/backbone/resnet.py:149-158 loads resnet101-5d3b4d8f.pth)
-    if (cfg.arch == "deeplab" and cfg.backbone == "resnet"
-            and isinstance(cfg.pretrained, str)
-            and os.path.exists(cfg.pretrained)):
-        from pylc_tpu.convert import load_resnet101_imagenet
-        state = load_resnet101_imagenet(cfg.pretrained, state)
-        if verbose:
-            print(f"Loaded pretrained encoder from {cfg.pretrained}")
+    # models/backbone/resnet.py:149-158 loads resnet101-5d3b4d8f.pth;
+    # models/backbone/xception.py:253-284 INTENDS to load the zoo
+    # xception — its loop is a no-op bug, DEVIATIONS F13)
+    if cfg.arch == "deeplab" and cfg.pretrained:
+        default_paths = {
+            "resnet": "./data/models/resnet101-5d3b4d8f.pth",
+            "xception": "./data/models/xception-b5690688.pth",
+        }
+        explicit = cfg.pretrained is True  # user passed --pretrained
+        path = cfg.pretrained if isinstance(cfg.pretrained, str) else \
+            default_paths[cfg.backbone]
+        if path == default_paths["resnet"] and cfg.backbone != "resnet":
+            path = default_paths[cfg.backbone]  # class default, wrong bb
+        if os.path.exists(path):
+            from pylc_tpu.convert import (
+                load_resnet101_imagenet, load_xception_imagenet)
+            loader = load_resnet101_imagenet if cfg.backbone == "resnet" \
+                else load_xception_imagenet
+            state = loader(path, state)
+            if verbose:
+                print(f"Loaded pretrained encoder from {path}")
+        elif explicit:
+            raise FileNotFoundError(
+                f"--pretrained requested but {path} does not exist; "
+                "place the ImageNet checkpoint there or drop the flag.")
     model_eval = build_model(cfg, train=False)
     train_step = make_train_step(cfg, model,
                                  mesh=mesh if n_mesh > 1 else None)
@@ -126,9 +145,11 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         n_val = 0
         for img, mask in va_ds:
             # pad partial batches to the full batch shape so the jitted
-            # eval step compiles once (metrics include the padding; the
-            # bias is bounded by pad/batch and only affects logging)
-            metrics = eval_step(state, *put(img, mask, pad_to=batch))
+            # eval step compiles once; n_valid masks the padding out of
+            # the metric reductions (it feeds best-dice gating)
+            n_valid = img.shape[0]
+            metrics = eval_step(state, *put(img, mask, pad_to=batch),
+                                np.int32(n_valid))
             loss.push(metrics)
             n_val += 1
         if n_val == 0 and verbose:

@@ -163,3 +163,132 @@ def test_pth_model_loads_end_to_end(tmp_path, rng):
     y1 = np.asarray(predict1(state, x))
     y2 = np.asarray(predict2(state2, x))
     np.testing.assert_allclose(y1, y2, atol=1e-5)
+
+
+def test_xception_imagenet_zoo_loader(tmp_path):
+    """load_xception_imagenet implements the reference's INTENDED
+    block-replication zoo mapping (models/backbone/xception.py:258-283;
+    as written it loads nothing — DEVIATIONS F13): zoo block11 weights
+    land in aligned blocks 11-19, block12 -> block20, conv4 -> conv5,
+    separable-internal BNs keep their fresh init."""
+    from pylc_tpu.config import Config
+    from pylc_tpu.convert import load_xception_imagenet, _unfreeze
+    from pylc_tpu.train_state import init_state
+
+    cfg = Config().replace(arch="deeplab", backbone="xception", ch=3,
+                           tile_size=64, compute_dtype="float32")
+    src_state, _ = init_state(cfg, jax.random.PRNGKey(1))
+    tgt_state, _ = init_state(cfg, jax.random.PRNGKey(2))
+
+    sp = _unfreeze(jax.device_get(src_state.params))["backbone"]
+    ss = _unfreeze(jax.device_get(src_state.batch_stats))["backbone"]
+
+    # synthesize a zoo-format (Cadene xception) state_dict from the
+    # source tree: entry conv1/conv2, blocks 1..11, exit block20 as zoo
+    # 'block12', conv3/bn3, conv5/bn5 as zoo 'conv4'/'bn4'; separable
+    # pointwise weights are 2-d [O, I] in the zoo file and its
+    # SeparableConv2d has no internal BN.
+    sd = {}
+
+    def put_conv(key, kern, depthwise=False):
+        w = np.asarray(kern).transpose(3, 2, 0, 1)
+        sd[key + ".weight"] = torch.tensor(w)
+
+    def put_pointwise(key, kern):
+        sd[key + ".weight"] = torch.tensor(
+            np.asarray(kern).transpose(3, 2, 0, 1)[:, :, 0, 0])
+
+    def put_bn(key, p, s):
+        sd[key + ".weight"] = torch.tensor(np.asarray(p["scale"]))
+        sd[key + ".bias"] = torch.tensor(np.asarray(p["bias"]))
+        sd[key + ".running_mean"] = torch.tensor(np.asarray(s["mean"]))
+        sd[key + ".running_var"] = torch.tensor(np.asarray(s["var"]))
+
+    def put_block(zoo_name, ours):
+        bp, bs = sp[ours], ss[ours]
+        rep = 0
+        i = 0
+        while f"sep{i}" in bp:
+            put_conv(f"{zoo_name}.rep.{rep}.conv1",
+                     bp[f"sep{i}"]["depthwise"]["kernel"], depthwise=True)
+            put_pointwise(f"{zoo_name}.rep.{rep}.pointwise",
+                          bp[f"sep{i}"]["pointwise"]["kernel"])
+            rep += 1
+            if f"sepbn{i}" in bp:
+                put_bn(f"{zoo_name}.rep.{rep}", bp[f"sepbn{i}"],
+                       bs[f"sepbn{i}"])
+                rep += 1
+            i += 1
+        if "skip" in bp:
+            put_conv(f"{zoo_name}.skip", bp["skip"]["kernel"])
+            put_bn(f"{zoo_name}.skipbn", bp["skipbn"], bs["skipbn"])
+
+    put_conv("conv1", sp["conv1"]["kernel"])
+    put_bn("bn1", sp["bn1"], ss["bn1"])
+    put_conv("conv2", sp["conv2"]["kernel"])
+    put_bn("bn2", sp["bn2"], ss["bn2"])
+    for n in range(1, 12):
+        put_block(f"block{n}", f"block{n}")
+    put_block("block12", "block20")
+    put_conv("conv3.conv1", sp["conv3"]["depthwise"]["kernel"],
+             depthwise=True)
+    put_pointwise("conv3.pointwise", sp["conv3"]["pointwise"]["kernel"])
+    put_bn("bn3", sp["bn3"], ss["bn3"])
+    put_conv("conv4.conv1", sp["conv5"]["depthwise"]["kernel"],
+             depthwise=True)
+    put_pointwise("conv4.pointwise", sp["conv5"]["pointwise"]["kernel"])
+    put_bn("bn4", sp["bn5"], ss["bn5"])
+    sd["fc.weight"] = torch.zeros(1000, 2048)  # dropped by the loader
+
+    pth = str(tmp_path / "xception_zoo.pth")
+    torch.save(sd, pth)
+
+    before = _unfreeze(jax.device_get(tgt_state.params))
+    new_state = load_xception_imagenet(pth, tgt_state)
+    np_ = _unfreeze(jax.device_get(new_state.params))
+    ns_ = _unfreeze(jax.device_get(new_state.batch_stats))
+
+    bb = np_["backbone"]
+    # entry conv copied
+    np.testing.assert_allclose(bb["conv1"]["kernel"],
+                               sp["conv1"]["kernel"], atol=1e-6)
+    # zoo block11 replicated into aligned blocks 11..19
+    for n in range(11, 20):
+        np.testing.assert_allclose(
+            bb[f"block{n}"]["sep0"]["pointwise"]["kernel"],
+            sp["block11"]["sep0"]["pointwise"]["kernel"], atol=1e-6)
+    # zoo block12 -> aligned block20
+    np.testing.assert_allclose(
+        bb["block20"]["sep0"]["depthwise"]["kernel"],
+        sp["block20"]["sep0"]["depthwise"]["kernel"], atol=1e-6)
+    # zoo conv4/bn4 -> aligned conv5/bn5
+    np.testing.assert_allclose(bb["conv5"]["pointwise"]["kernel"],
+                               sp["conv5"]["pointwise"]["kernel"], atol=1e-6)
+    np.testing.assert_allclose(
+        ns_["backbone"]["bn5"]["mean"], ss["bn5"]["mean"], atol=1e-6)
+    # bn3 doubled into bn4
+    np.testing.assert_allclose(ns_["backbone"]["bn4"]["mean"],
+                               ss["bn3"]["mean"], atol=1e-6)
+    # separable-internal BN has no zoo source: keeps fresh init
+    np.testing.assert_allclose(
+        bb["block1"]["sep0"]["bn"]["scale"],
+        before["backbone"]["block1"]["sep0"]["bn"]["scale"], atol=1e-6)
+    # aspp untouched
+    np.testing.assert_allclose(
+        np_["aspp"]["proj"]["kernel"], before["aspp"]["proj"]["kernel"],
+        atol=1e-6)
+
+
+def test_xception_imagenet_rejects_garbage(tmp_path):
+    """A non-xception file must fail loudly, not train from scratch."""
+    from pylc_tpu.config import Config
+    from pylc_tpu.convert import load_xception_imagenet
+    from pylc_tpu.train_state import init_state
+
+    cfg = Config().replace(arch="deeplab", backbone="xception", ch=3,
+                           tile_size=64, compute_dtype="float32")
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    pth = str(tmp_path / "junk.pth")
+    torch.save({"not_a_weight": torch.zeros(3)}, pth)
+    with pytest.raises(ValueError, match="no xception backbone"):
+        load_xception_imagenet(pth, state)

@@ -74,3 +74,51 @@ def test_pallas_crf_iteration_matches_xla(rng):
     got = np.asarray(mean_field(jnp.asarray(probs), jnp.asarray(guide),
                                 CRFParams(**base, backend="pallas")))
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def _miou(pred, true, n_classes):
+    ious = []
+    for c in range(n_classes):
+        inter = np.sum((pred == c) & (true == c))
+        union = np.sum((pred == c) | (true == c))
+        if union:
+            ious.append(inter / union)
+    return float(np.mean(ious))
+
+
+def test_crf_improves_miou(rng):
+    """Quantitative before/after: on a synthetic segmentation with noisy
+    unaries over color-consistent regions, CRF refinement must raise
+    mIoU substantially (the north-star CRF accuracy evidence; numbers
+    recorded in BASELINE.md)."""
+    H, W, C = 128, 128, 5
+    # ground truth: voronoi-ish patches from random seed points
+    pts = rng.integers(0, [H, W], size=(C * 3, 2))
+    lbl = rng.integers(0, C, size=(C * 3,))
+    yy, xx = np.mgrid[0:H, 0:W]
+    d = (yy[..., None] - pts[:, 0]) ** 2 + (xx[..., None] - pts[:, 1]) ** 2
+    true = lbl[np.argmin(d, axis=-1)].astype(np.int32)
+
+    # guide image: distinct color per class + sensor noise
+    colors = rng.integers(40, 255, size=(C, 3))
+    guide = np.clip(colors[true] + rng.normal(0, 8, (H, W, 3)), 0,
+                    255).astype(np.uint8)
+
+    # unary: one-hot logits with heavy iid noise + 15% label flips
+    logits = np.eye(C, dtype=np.float32)[true] * 2.0
+    flip = rng.random((H, W)) < 0.15
+    rand_lbl = rng.integers(0, C, size=(H, W))
+    noisy_lbl = np.where(flip, rand_lbl, true)
+    logits = np.eye(C, dtype=np.float32)[noisy_lbl] * 2.0
+    logits += rng.normal(0, 0.7, logits.shape).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    before = _miou(np.argmax(probs, -1), true, C)
+    out = np.asarray(mean_field(
+        jnp.asarray(probs), jnp.asarray(guide),
+        CRFParams(n_iters=5, radius=3, downsample=1)))
+    after = _miou(np.argmax(out, -1), true, C)
+
+    assert after > before + 0.05, (before, after)
+    # and the refined map should be close to the truth
+    assert after > 0.85, (before, after)

@@ -62,3 +62,56 @@ def test_loss_gradients_finite(rng):
     target = jnp.asarray(rng.integers(0, C, size=(B, H, W)))
     g = jax.grad(lambda x: multi_loss(x, target)[0])(logits)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sample_mask_equals_sliced_batch(rng):
+    """multi_loss with mask [1]*n + [0]*pad must equal multi_loss on the
+    first n samples (the validation padding-bias fix, trainer.py)."""
+    B, n, H, W, C = 8, 5, 8, 8, 7
+    logits = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    target = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+    mask = (np.arange(B) < n).astype(np.float32)
+    cw = rng.random(C).astype(np.float32) + 0.1
+
+    for w in (LossWeights(), LossWeights(weighted=True)):
+        total_m, aux_m = multi_loss(logits, target, class_weights=cw, w=w,
+                                    sample_mask=mask)
+        total_s, aux_s = multi_loss(logits[:n], target[:n],
+                                    class_weights=cw, w=w)
+        np.testing.assert_allclose(float(total_m), float(total_s), rtol=1e-5)
+        for k in aux_s:
+            np.testing.assert_allclose(float(aux_m[k]), float(aux_s[k]),
+                                       rtol=1e-5)
+
+
+def test_eval_step_masks_padding(rng):
+    """make_eval_step with a padded batch + n_valid must equal the
+    unpadded computation (padding bias fed best-dice gating in round 1)."""
+    import jax
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_eval_step
+    from pylc_tpu.models.registry import build_model
+
+    tile = 32
+    cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                           input_size=tile, output_size=16,
+                           unet_depth=2, unet_wf=2, dropout=0.0,
+                           batch_size=4)
+    state, _ = init_state(cfg, jax.random.PRNGKey(0), 10)
+    model_eval = build_model(cfg, train=False)
+    eval_step = make_eval_step(cfg, model_eval)
+
+    n = 3
+    img = rng.integers(0, 255, (n, tile, tile, 3)).astype(np.uint8)
+    mask = rng.integers(0, cfg.n_classes, (n, tile, tile)).astype(np.uint8)
+    # pad to the full batch shape with a junk sample
+    pad_img = np.concatenate([img, np.repeat(img[-1:], 1, axis=0)], axis=0)
+    pad_mask = np.concatenate(
+        [mask, np.zeros((1, tile, tile), np.uint8)], axis=0)
+
+    padded = eval_step(state, pad_img, pad_mask, np.int32(n))
+    exact = eval_step(state, np.concatenate([img, img[:1]]),
+                      np.concatenate([mask, mask[:1]]), np.int32(n))
+    for k in exact:
+        np.testing.assert_allclose(float(padded[k]), float(exact[k]),
+                                   rtol=1e-5)

@@ -94,3 +94,46 @@ def test_sharded_train_step_matches_single_device(rng):
     flat8 = jax.tree_util.tree_leaves(p8)
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+
+def test_syncbatch_train_step_runs_and_matches_batch(rng):
+    """Regression for the round-1 crash: ``norm_type='syncbatch'`` must
+    run an ACTUAL sharded train step under the GSPMD trainer path (not
+    just parse), and — per models/layers.py — produce the same update as
+    ``norm_type='batch'`` on a mesh, because GSPMD batch statistics are
+    already global over the sharded batch."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from pylc_tpu.config import Config
+    from pylc_tpu.parallel.mesh import batch_sharding
+    from pylc_tpu.train_state import init_state, make_train_step
+
+    tile = 32
+    img = rng.integers(0, 255, (8, tile, tile, 3)).astype(np.uint8)
+    mask = rng.integers(0, 9, (8, tile, tile)).astype(np.uint8)
+    key = jax.random.PRNGKey(3)
+    mesh = get_mesh(8)
+
+    def run(norm_type):
+        cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                               input_size=tile, output_size=16,
+                               unet_depth=2, unet_wf=2, dropout=0.0,
+                               batch_size=8, optim_type="sgd",
+                               norm_type=norm_type)
+        state, model = init_state(cfg, jax.random.PRNGKey(0), 10)
+        step = make_train_step(cfg, model)
+        xi = jax.device_put(img, batch_sharding(mesh, 4))
+        yi = jax.device_put(mask, batch_sharding(mesh, 3))
+        state, metrics = step(state, xi, yi, key)  # crashed in round 1
+        return (jax.device_get(state.params),
+                jax.device_get(state.batch_stats), float(metrics["total"]))
+
+    p_sync, bs_sync, l_sync = run("syncbatch")
+    p_batch, bs_batch, l_batch = run("batch")
+    np.testing.assert_allclose(l_sync, l_batch, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sync),
+                    jax.tree_util.tree_leaves(p_batch)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(bs_sync),
+                    jax.tree_util.tree_leaves(bs_batch)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
