@@ -1,0 +1,127 @@
+"""END-TO-END accuracy parity against the EXECUTED reference.
+
+The north star (BASELINE.json) demands mIoU parity and matching
+colour-mapped masks for a *trained* reference-format checkpoint — not
+proxies.  This test drives the full differential experiment:
+
+  1. scripts/ref_pipeline.py copies /root/reference to a scratch dir,
+     synthesizes a deterministic learnable dataset, and runs the
+     REFERENCE CLI end-to-end on CPU torch: extract -> train (DeepLab/
+     ResNet101, 2 epochs) -> test, producing a trained `.pth` and the
+     reference's colour-mask PNGs + `_eval.json` metrics
+     (reference test.py:23-115).  Results are cached in
+     /tmp/pylc_ref_run across test runs.
+  2. The SAME trained checkpoint + photos go through `pylc.py test`
+     (our pipeline: convert.py .pth import, tile/infer/stitch,
+     evaluator).
+  3. Masks are diffed pixel-for-pixel and the eval metrics compared.
+
+Divergence sources bounded here: bf16-free f32 inference, identical
+fit/tile geometry, stitch argmax parity outside double-softmax corner
+zones (docs/DEVIATIONS.md D1) — so agreement is required to be
+near-total, and metric deltas tiny.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference tree not available"),
+]
+
+# thresholds: measured agreement is >=99.9% of pixels with metric deltas
+# <1e-3 (see docs/PARITY.md for the recorded numbers); the thresholds
+# leave margin for torch-version nondeterminism in the retrained
+# checkpoint while still failing on any systematic divergence.
+PIXEL_MATCH_MIN = 0.995
+METRIC_ATOL = 0.01
+
+
+@pytest.fixture(scope="module")
+def ref_artifacts():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import ref_pipeline
+    return ref_pipeline.run()
+
+
+@pytest.fixture(scope="module")
+def our_outputs(ref_artifacts, tmp_path_factory):
+    """Run OUR pipeline on the reference-trained checkpoint."""
+    from pylc_tpu.config import Config
+    from pylc_tpu.tester import test
+
+    out_root = tmp_path_factory.mktemp("ours")
+    cwd = os.getcwd()
+    os.chdir(out_root)
+    try:
+        results = {}
+        cfg = Config().replace(compute_dtype="float32")
+        for name in ref_artifacts["outputs"]:
+            res = test(
+                cfg, ref_artifacts["model_pth"],
+                os.path.join(ref_artifacts["raw_images"], f"{name}.jpg"),
+                mask_path=os.path.join(ref_artifacts["raw_masks"],
+                                       f"{name}.png"),
+                verbose=False)
+            mask = os.path.join(
+                out_root, "data", "outputs", "pylc_deeplab_ch3_schema_a",
+                "masks", f"{name}_jpg_scale_1.0.png")
+            results[name] = {"mask": mask, "metrics": res[0]["metrics"]}
+        return results
+    finally:
+        os.chdir(cwd)
+
+
+def test_trained_checkpoint_mask_parity(ref_artifacts, our_outputs):
+    """Colour masks from the same trained checkpoint must agree
+    pixel-for-pixel (up to argmax ties at stitch corner zones, D1)."""
+    import cv2
+
+    for name, ref_out in ref_artifacts["outputs"].items():
+        ref_mask = cv2.imread(ref_out["mask"])
+        our_mask = cv2.imread(our_outputs[name]["mask"])
+        assert ref_mask is not None and our_mask is not None
+        assert ref_mask.shape == our_mask.shape, (
+            name, ref_mask.shape, our_mask.shape)
+        same = (ref_mask == our_mask).all(axis=-1)
+        frac = float(same.mean())
+        assert frac >= PIXEL_MATCH_MIN, (
+            f"{name}: only {frac * 100:.3f}% of mask pixels agree with "
+            f"the reference ({int((~same).sum())} differ)")
+
+
+def test_trained_checkpoint_metric_parity(ref_artifacts, our_outputs):
+    """Weighted F1 / IoU / MCC computed by each pipeline's evaluator on
+    its own mask must agree (mIoU-parity evidence)."""
+    for name, ref_out in ref_artifacts["outputs"].items():
+        if not ref_out["eval"]:
+            continue
+        ref_eval = json.load(open(ref_out["eval"]))
+        ours = our_outputs[name]["metrics"]
+        for key in ("f1", "iou", "mcc"):
+            assert abs(float(ours[key]) - float(ref_eval[key])) < \
+                METRIC_ATOL, (name, key, ours[key], ref_eval[key])
+
+
+def test_mask_colors_are_schema_palette(our_outputs):
+    """Every pixel of our mask must be an exact schema RGB colour."""
+    import cv2
+    pal = np.array(
+        [c["colour"]["rgb"] for c in json.load(
+            open(os.path.join(os.path.dirname(__file__), "..", "pylc_tpu",
+                              "schemas", "schema_a.json")))["classes"]],
+        np.uint8)
+    pal_bgr = {tuple(int(v) for v in p[::-1]) for p in pal}
+    for name, out in our_outputs.items():
+        mask = cv2.imread(out["mask"])
+        uniq = np.unique(mask.reshape(-1, 3), axis=0)
+        for u in uniq:
+            assert tuple(int(v) for v in u) in pal_bgr, (name, u)
