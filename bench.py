@@ -116,6 +116,11 @@ def bench_train(steps=20, batch=8):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (batch, 512, 512, 3)).astype(np.uint8)
     mask = rng.integers(0, cfg.n_classes, (batch, 512, 512)).astype(np.uint8)
+    # device-resident batch: measures the step itself, as fed by the
+    # trainer's async device_put pipeline (a host->device copy inside
+    # the timed loop would measure the ~30 MB/s tunnel, not the chip)
+    img = jax.device_put(img)
+    mask = jax.device_put(mask)
     key = jax.random.PRNGKey(0)
     state, m = step(state, img, mask, key)  # compile
     _fetch(m["total"])

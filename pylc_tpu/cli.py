@@ -102,6 +102,9 @@ def get_parser() -> argparse.ArgumentParser:
     tr.add_argument("--clip", type=float, default=None)
     tr.add_argument("--n_devices", type=int, default=None,
                     help="Restrict the device mesh size.")
+    tr.add_argument("--multihost", action="store_true",
+                    help="Initialize jax.distributed (multi-host DCN) so "
+                         "the data axis spans every host's chips.")
     tr.set_defaults(func=run_train)
 
     # ------------------------- test ----------------------------------- #
@@ -192,6 +195,11 @@ def run_profile(args):
 
 
 def run_train(args):
+    if getattr(args, "multihost", False) or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # must run before the first jax device query (SURVEY §5.8 DCN)
+        from pylc_tpu.parallel.mesh import init_distributed
+        init_distributed()
     from pylc_tpu.trainer import train
     cfg = _cfg_from_args(args)
     summary = train(cfg, args.db, n_devices=getattr(args, "n_devices", None))

@@ -17,6 +17,7 @@ reduction explicit for shard_map/pmap contexts.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable, Optional
 
@@ -84,31 +85,41 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int
     coordinate = i * (in - 1) / (out - 1).
 
     x: [..., H, W, C] (resizes the -3 and -2 axes).
+
+    Implementation: per-axis interpolation as a dense matmul against a
+    static two-nonzeros-per-row [n_out, n_in] matrix.  A gather-based
+    lerp (``jnp.take`` on computed indices) costs ~9 ms/step in the
+    DeepLab train program on v5e (gather forward + scatter-add
+    backward, see docs/ASPP_PROFILE.md trace); the matmul form runs on
+    the MXU and its transpose (backward) is just the transposed matmul.
     """
     h, w = x.shape[-3], x.shape[-2]
     dtype = x.dtype
     x = x.astype(jnp.float32)
-
-    def coords(n_in, n_out):
-        if n_out == 1 or n_in == 1:
-            return jnp.zeros((n_out,), jnp.float32)
-        return jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-
-    def lerp_axis(v, n_in, n_out, axis):
-        c = coords(n_in, n_out)
-        lo = jnp.floor(c).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, n_in - 1)
-        t = (c - lo.astype(jnp.float32))
-        v_lo = jnp.take(v, lo, axis=axis)
-        v_hi = jnp.take(v, hi, axis=axis)
-        shape = [1] * v.ndim
-        shape[axis] = n_out
-        t = t.reshape(shape)
-        return v_lo * (1.0 - t) + v_hi * t
-
-    x = lerp_axis(x, h, out_h, x.ndim - 3)
-    x = lerp_axis(x, w, out_w, x.ndim - 2)
+    mh = jnp.asarray(_interp_matrix(h, out_h))      # [out_h, h]
+    mw = jnp.asarray(_interp_matrix(w, out_w))      # [out_w, w]
+    x = jnp.einsum("...hwc,Hh->...Hwc", x, mh)
+    x = jnp.einsum("...hwc,Ww->...hWc", x, mw)
     return x.astype(dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix(n_in: int, n_out: int):
+    """Static align-corners interpolation matrix [n_out, n_in]
+    (source coordinate = i * (n_in - 1) / (n_out - 1))."""
+    import numpy as np
+    m = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    c = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(c).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    t = (c - lo).astype(np.float32)
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, lo), 1.0 - t)
+    np.add.at(m, (rows, hi), t)
+    return m
 
 
 def center_crop(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:

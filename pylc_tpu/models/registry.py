@@ -30,11 +30,16 @@ def build_model(cfg: Config, train: bool = False,
     """
     import jax.numpy as jnp
 
-    norm = make_norm(cfg.norm_type, train=train, axis_name=axis_name)
     act = get_activation(cfg.activ_type)
     # conv compute dtype: bf16 keeps the MXU in its native precision;
-    # params and normalizers stay f32 (see models/layers.py docstring)
+    # params stay f32.  Normalizers get the same compute dtype so
+    # activations stay bf16 across conv->BN->relu chains (flax computes
+    # BN statistics in float32 internally regardless — see
+    # flax.linen.normalization._compute_stats); BN in f32 cost ~11
+    # ms/step of convert_reduce fusions in the v5e train profile.
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    norm = make_norm(cfg.norm_type, train=train, dtype=dtype,
+                     axis_name=axis_name)
 
     if cfg.arch == "unet":
         return UNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode,

