@@ -110,19 +110,15 @@ def unfold_tiles(img: jnp.ndarray, tile_size: int, stride: int
     return t.reshape(n_rows * n_cols, tile_size, tile_size, C)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def stitch_probs(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
-                 tile_size: int, stride: int) -> jnp.ndarray:
-    """Overlap-average tile probability maps into a full canvas.
+def accumulate_blocks(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
+                      tile_size: int, stride: int):
+    """Overlap-ADD tile maps into canvas block space (no division).
 
-    Parameters
-    ----------
-    tile_probs: [N, tile, tile, C] per-tile class probabilities in the
-        row-major grid order produced by ``unfold_tiles``.
-    Returns [H, W, C] mean probabilities, H = (n_rows-1)*stride + tile.
-
-    Device-side replacement for the reference's sequential host stitch
-    (utils/tools.py:209-319); see module docstring for the math.
+    Returns (acc [Rb, Cb, s, s, C] f32, cnt [Rb, Cb, 1, 1, 1] f32) with
+    Rb = n_rows - 1 + k block rows.  Shared by the single-device stitch
+    and the halo-exchange sharded stitch
+    (pylc_tpu/parallel/sharded_stitch.py), whose shards each accumulate
+    their local tile rows with this function.
     """
     N, T, T2, C = tile_probs.shape
     assert T == tile_size and T2 == tile_size
@@ -144,9 +140,32 @@ def stitch_probs(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
             acc = acc.at[a:a + n_rows, b:b + n_cols].add(
                 t[:, :, a, b].astype(jnp.float32))
             cnt = cnt.at[a:a + n_rows, b:b + n_cols].add(1.0)
-    acc = acc / cnt
-    # blocks -> canvas [Rb*s, Cb*s, C]
+    return acc, cnt
+
+
+def blocks_to_canvas(acc: jnp.ndarray) -> jnp.ndarray:
+    """[Rb, Cb, s, s, C] block space -> [Rb*s, Cb*s, C] canvas."""
+    Rb, Cb, s, s2, C = acc.shape
     return acc.transpose(0, 2, 1, 3, 4).reshape(Rb * s, Cb * s, C)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def stitch_probs(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
+                 tile_size: int, stride: int) -> jnp.ndarray:
+    """Overlap-average tile probability maps into a full canvas.
+
+    Parameters
+    ----------
+    tile_probs: [N, tile, tile, C] per-tile class probabilities in the
+        row-major grid order produced by ``unfold_tiles``.
+    Returns [H, W, C] mean probabilities, H = (n_rows-1)*stride + tile.
+
+    Device-side replacement for the reference's sequential host stitch
+    (utils/tools.py:209-319); see module docstring for the math.
+    """
+    acc, cnt = accumulate_blocks(tile_probs, n_rows, n_cols, tile_size,
+                                 stride)
+    return blocks_to_canvas(acc / cnt)
 
 
 def stitch_logits_to_mask(tile_logits, n_rows, n_cols, tile_size, stride):
