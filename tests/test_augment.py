@@ -77,3 +77,14 @@ def test_merge_and_grayscale(tmp_path):
     gdb = TileDB(gs)
     assert gdb.img_shape[1] == 1
     assert gdb.get_meta().ch == 1
+
+
+def test_merge_rejects_incompatible_dbs(tmp_path):
+    """Merging DBs with different ch/tile_size must fail loudly instead
+    of stamping a corrupt DB with the first DB's meta."""
+    import pytest
+    p1 = _unbalanced_db(tmp_path)
+    # grayscale copy: same schema, ch=1 -> incompatible
+    gs = grayscale_db(p1, str(tmp_path / "gs2.h5"))
+    with pytest.raises(ValueError, match="ch"):
+        merge_dbs([p1, gs], str(tmp_path / "bad.h5"))

@@ -37,3 +37,19 @@ def test_sharded_inference_matches_single_device(rng):
 
     np.testing.assert_array_equal(res1["class_map"], res8["class_map"])
     np.testing.assert_array_equal(res1["mask_rgb"], res8["mask_rgb"])
+
+
+def test_segment_many_rejects_mixed_shapes(rng):
+    """segment_many compiles for imgs[0]'s canvas; a mixed-shape list
+    must raise instead of returning wrong-shaped garbage."""
+    import pytest
+    from pylc_tpu.infer import Segmenter
+    seg = Segmenter.__new__(Segmenter)  # no model needed before the check
+    seg.cfg = __import__("pylc_tpu.config", fromlist=["Config"]).Config()
+    seg._cache = {}
+    seg.state = None  # the stubbed run ignores it
+    a = rng.integers(0, 255, (128, 192, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (192, 128, 3)).astype(np.uint8)
+    seg._cache[(128, 192, 256)] = lambda *args: (None, None)
+    with pytest.raises(ValueError, match="uniform shapes"):
+        seg.segment_many([a, b])
