@@ -141,23 +141,32 @@ class RunningLoss:
             else:
                 os.remove(self.log_file)
 
-    def push(self, metrics: Dict[str, Any]):
+    def push(self, metrics: Dict[str, Any], weight: float = 1.0):
         """Buffer one step's metrics.  Device scalars are stored as-is —
         JAX's async dispatch keeps the accelerator pipeline full; the
         host sync happens once per interval in log() (the reference
-        syncs losses to host every batch, models/model.py:319)."""
-        self.intv.append((metrics["ce"], metrics["dice"], metrics["focal"]))
+        syncs losses to host every batch, models/model.py:319).
+
+        ``weight``: relative weight of this batch in the interval
+        average — validation passes its real (unpadded) sample count so
+        a partial final batch doesn't get full-batch influence on the
+        best-dice gate."""
+        self.intv.append((metrics["ce"], metrics["dice"], metrics["focal"],
+                          weight))
 
     def log(self, iteration: int, training: bool):
-        """Fold the interval buffer into an average; update best-dice on
-        validation (reference loss.py:270-293)."""
+        """Fold the interval buffer into a weighted average; update
+        best-dice on validation (reference loss.py:270-293)."""
         if not self.intv:
             if not training:
                 # an empty validation must not re-trigger a stale best
                 self.is_best = False
             return
         self.intv = [tuple(float(x) for x in row) for row in self.intv]
-        ce, dice, fl = (sum(v) / len(self.intv) for v in zip(*self.intv))
+        wsum = sum(row[3] for row in self.intv) or 1.0
+        ce, dice, fl = (sum(v * row[3] for v, row in
+                            zip(col, self.intv)) / wsum
+                        for col in zip(*(r[:3] for r in self.intv)))
         self.avg_ce, self.avg_dice, self.avg_fl = ce, dice, fl
         self.intv = []
         row = (iteration, ce, dice, fl)

@@ -128,16 +128,6 @@ def convert_resnet_backbone(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     return p, s
 
 
-def _convert_separable(p: Dict, s: Dict, flax_path: Tuple[str, ...],
-                       sd: Dict, torch_prefix: str):
-    """SeparableConv2d: conv1 (depthwise) + bn + pointwise
-    (models/backbone/xception.py:25-39)."""
-    _put_conv(p, flax_path + ("depthwise",), sd, torch_prefix + ".conv1",
-              depthwise=True)
-    _put_bn(p, s, flax_path + ("bn",), sd, torch_prefix + ".bn")
-    _put_conv(p, flax_path + ("pointwise",), sd, torch_prefix + ".pointwise")
-
-
 def convert_xception_backbone(sd: Dict, prefix: str = "",
                               strict: bool = True) -> Tuple[Dict, Dict]:
     """Reference AlignedXception state_dict -> pylc_tpu subtrees.

@@ -40,15 +40,18 @@ def stitch_probs_sharded(tile_probs, n_rows: int, n_cols: int,
 
     Requirements: ``n_rows`` divisible by the mesh axis size, and
     ``n_rows / n_devices >= k - 1`` (the spill must reach only the
-    immediate neighbour).  Falls back to the single-device
-    ``stitch_probs`` math per shard otherwise — callers should check
-    :func:`can_shard` first.
+    immediate neighbour).  Raises ValueError otherwise — callers should
+    check :func:`can_shard` first and use the single-device
+    ``stitch_probs`` when it returns False.
     """
     n_dev = mesh.shape[axis_name]
     k = tile_size // stride
     s = stride
-    assert can_shard(n_rows, tile_size, stride, n_dev), \
-        (n_rows, tile_size, stride, n_dev)
+    if not can_shard(n_rows, tile_size, stride, n_dev):
+        raise ValueError(
+            f"cannot shard {n_rows} tile rows over {n_dev} devices at "
+            f"tile {tile_size}/stride {stride} (need n_rows % n_dev == 0 "
+            f"and n_rows/n_dev >= k-1={k - 1}); use stitch_probs")
     nL = n_rows // n_dev
     spill_rows = k - 1
 

@@ -78,7 +78,7 @@ def test(cfg: Config, model_path: str, img_path: str,
     from pylc_tpu.ops.tiles import grid_dims
 
     stride = cfg.tile_size // 2
-    n_workers = max(1, int(cfg.n_workers or 0) or 1)
+    n_workers = max(1, cfg.n_workers)
 
     def decode(fpair):
         if isinstance(fpair, dict):

@@ -66,10 +66,21 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
 
     mesh = get_mesh(n_devices)
     n_mesh = mesh.devices.size
+    # multi-host (DCN): each process reads only its shard of the train
+    # split and contributes its rows of the global batch (the TileDB
+    # shard math reproduces the reference's per-worker range split,
+    # db/database.py).  Validation is deliberately NOT sharded: every
+    # host evaluates the identical full split so the best-dice gate
+    # (and hence the saved checkpoints) agree across hosts.
+    n_proc = jax.process_count()
+    proc_i = jax.process_index()
     batch = max(cfg.batch_size, n_mesh)
+    if batch % n_proc:
+        batch += n_proc - batch % n_proc
 
-    tr_ds = TileDataset(tr_db, batch_size=batch, shuffle=True,
-                        drop_last=True, chunk_size=cfg.buffer_size)
+    tr_ds = TileDataset(tr_db, batch_size=batch // n_proc, shuffle=True,
+                        drop_last=True, chunk_size=cfg.buffer_size,
+                        shard=(proc_i, n_proc))
     # validation keeps partial batches — with a small DB the valid
     # split can be smaller than one batch, and dropping it would starve
     # validation entirely (stale metrics, best-model never saved)
@@ -78,36 +89,48 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
                         drop_last=False, chunk_size=cfg.buffer_size)
     steps_per_epoch = max(1, tr_ds.n_batches)
 
-    # model + state
-    rng = jax.random.PRNGKey(0)
-    state, model = init_state(cfg, rng, steps_per_epoch)
-
-    # overlay pretrained ImageNet encoder weights (reference
-    # models/backbone/resnet.py:149-158 loads resnet101-5d3b4d8f.pth;
-    # models/backbone/xception.py:253-284 INTENDS to load the zoo
-    # xception — its loop is a no-op bug, DEVIATIONS F13)
+    # resolve pretrained-encoder request BEFORE the (expensive) model
+    # init so a bad path fails fast (reference models/backbone/
+    # resnet.py:149-158 loads resnet101-5d3b4d8f.pth; xception.py:
+    # 253-284 INTENDS to load the zoo xception — its loop is a no-op
+    # bug, DEVIATIONS F13)
+    pretrained_path = None
     if cfg.arch == "deeplab" and cfg.pretrained:
         default_paths = {
             "resnet": "./data/models/resnet101-5d3b4d8f.pth",
             "xception": "./data/models/xception-b5690688.pth",
         }
-        explicit = cfg.pretrained is True  # user passed --pretrained
         path = cfg.pretrained if isinstance(cfg.pretrained, str) else \
             default_paths[cfg.backbone]
         if path == default_paths["resnet"] and cfg.backbone != "resnet":
             path = default_paths[cfg.backbone]  # class default, wrong bb
+        # fail loudly when the user ASKED for pretraining (the boolean
+        # --pretrained flag, or a custom path that isn't the config
+        # class default); a silently-missing default path is the normal
+        # train-from-scratch case
+        explicit = cfg.pretrained is True or (
+            isinstance(cfg.pretrained, str)
+            and cfg.pretrained not in default_paths.values())
         if os.path.exists(path):
-            from pylc_tpu.convert import (
-                load_resnet101_imagenet, load_xception_imagenet)
-            loader = load_resnet101_imagenet if cfg.backbone == "resnet" \
-                else load_xception_imagenet
-            state = loader(path, state)
-            if verbose:
-                print(f"Loaded pretrained encoder from {path}")
+            pretrained_path = path
         elif explicit:
             raise FileNotFoundError(
-                f"--pretrained requested but {path} does not exist; "
-                "place the ImageNet checkpoint there or drop the flag.")
+                f"pretrained encoder requested but {path} does not "
+                "exist; place the ImageNet checkpoint there or drop "
+                "the flag.")
+
+    # model + state
+    rng = jax.random.PRNGKey(0)
+    state, model = init_state(cfg, rng, steps_per_epoch)
+
+    if pretrained_path:
+        from pylc_tpu.convert import (
+            load_resnet101_imagenet, load_xception_imagenet)
+        loader = load_resnet101_imagenet if cfg.backbone == "resnet" \
+            else load_xception_imagenet
+        state = loader(pretrained_path, state)
+        if verbose:
+            print(f"Loaded pretrained encoder from {pretrained_path}")
     model_eval = build_model(cfg, train=False)
     train_step = make_train_step(cfg, model,
                                  mesh=mesh if n_mesh > 1 else None)
@@ -133,11 +156,23 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     sharding = batch_sharding(mesh, 4)
     mask_sharding = batch_sharding(mesh, 3)
 
-    def put(img, mask, pad_to=None):
-        img = _pad_to(img, pad_to or n_mesh)
-        mask = _pad_to(mask, pad_to or n_mesh)
-        return (jax.device_put(img, sharding),
-                jax.device_put(mask, mask_sharding))
+    def _place(arr, shd, n, local_rows):
+        if n_proc == 1:
+            return jax.device_put(_pad_to(arr, n), shd)
+        if local_rows:
+            # train: arr holds THIS process's rows of the global batch
+            arr = _pad_to(arr, n // n_proc)
+            return jax.make_array_from_process_local_data(shd, arr)
+        # validation: every host holds the identical full batch; each
+        # addressable shard is sliced out of it
+        arr = _pad_to(arr, n)
+        return jax.make_array_from_callback(
+            arr.shape, shd, lambda idx: arr[idx])
+
+    def put(img, mask, pad_to=None, local_rows=False):
+        n = pad_to or n_mesh
+        return (_place(img, sharding, n, local_rows),
+                _place(mask, mask_sharding, n, local_rows))
 
     def validate(state, it, epoch):
         """Validate + checkpoint (the reference saves at every
@@ -150,7 +185,9 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
             n_valid = img.shape[0]
             metrics = eval_step(state, *put(img, mask, pad_to=batch),
                                 np.int32(n_valid))
-            loss.push(metrics)
+            # weight by real sample count so a partial final batch
+            # doesn't carry full-batch influence on best-dice gating
+            loss.push(metrics, weight=float(n_valid))
             n_val += 1
         if n_val == 0 and verbose:
             print("  warning: validation split is empty")
@@ -175,7 +212,8 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
 
         for img, mask in tr_ds:
             step_rng, sub = jax.random.split(step_rng)
-            state, metrics = train_step(state, *put(img, mask), sub)
+            state, metrics = train_step(
+                state, *put(img, mask, local_rows=True), sub)
             it += 1
             loss.push(metrics)
             if it % cfg.report == 0:

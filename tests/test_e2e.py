@@ -256,3 +256,35 @@ def test_grayscale_pipeline_e2e(tmp_path, rng):
     results = run_test(cfg, model, str(img_dir / "g0.jpg"),
                        mask_path=str(mask_dir / "g0.png"), verbose=False)
     assert 0.0 <= results[0]["metrics"]["f1"] <= 1.0
+
+
+def test_running_loss_weighted_average(tmp_path):
+    """Validation pushes are weighted by real sample count so a partial
+    final batch doesn't carry full-batch influence on best-dice."""
+    from pylc_tpu.checkpoint import RunningLoss
+    rl = RunningLoss("m", str(tmp_path))
+    rl.push({"ce": 1.0, "dice": 0.2, "focal": 0.0}, weight=8.0)
+    rl.push({"ce": 3.0, "dice": 1.0, "focal": 0.0}, weight=2.0)
+    rl.log(1, training=False)
+    assert abs(rl.avg_ce - (1.0 * 8 + 3.0 * 2) / 10) < 1e-9
+    assert abs(rl.avg_dice - (0.2 * 8 + 1.0 * 2) / 10) < 1e-9
+    # unweighted pushes behave as before (plain mean)
+    rl.push({"ce": 1.0, "dice": 0.5, "focal": 0.0})
+    rl.push({"ce": 2.0, "dice": 0.7, "focal": 0.0})
+    rl.log(2, training=True)
+    assert abs(rl.avg_ce - 1.5) < 1e-9
+
+
+def test_pretrained_user_path_missing_fails_loudly(extracted_db, tiny_cfg,
+                                                   tmp_path):
+    """A user-supplied pretrained path that doesn't exist must raise
+    (fast, before model init) instead of silently training from
+    scratch; the missing CLASS-DEFAULT path stays a silent no-op."""
+    from pylc_tpu.trainer import train
+    cfg = tiny_cfg.replace(arch="deeplab", backbone="resnet",
+                           pretrained=str(tmp_path / "nope.pth"),
+                           n_epochs=1, batch_size=2)
+    db_path = extracted_db[0] if isinstance(extracted_db, tuple) \
+        else extracted_db
+    with pytest.raises(FileNotFoundError, match="pretrained"):
+        train(cfg, db_path, verbose=False)
