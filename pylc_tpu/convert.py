@@ -65,14 +65,14 @@ def _t2n(t) -> np.ndarray:
 
 
 def _conv_kernel(t, depthwise: bool = False) -> np.ndarray:
-    """torch conv weight -> flax kernel.
+    """torch conv weight -> flax kernel: OIHW -> HWIO.
 
-    standard: OIHW -> HWIO.  depthwise (torch groups=C, shape [C,1,H,W])
-    -> flax feature_group_count kernel [H, W, 1, C]."""
-    w = _t2n(t)
-    if depthwise:
-        return w.transpose(2, 3, 1, 0)
-    return w.transpose(2, 3, 1, 0)
+    The same transpose also covers depthwise weights: torch groups=C
+    stores [C, 1, H, W], and (2, 3, 1, 0) yields [H, W, 1, C] — exactly
+    flax's feature_group_count kernel layout.  The ``depthwise`` flag
+    is kept for call-site readability only."""
+    del depthwise  # same transpose either way (see docstring)
+    return _t2n(t).transpose(2, 3, 1, 0)
 
 
 # --------------------------------------------------------------------- #
@@ -436,13 +436,10 @@ def export_deeplab_pth(state, cfg, out_path: str, backbone: str = "resnet"):
     stats = _unfreeze(_to_np(state.batch_stats))
     sd: Dict[str, Any] = {}
 
-    def put_conv(torch_key, arr, depthwise=False):
-        if depthwise:
-            sd[torch_key + ".weight"] = torch.tensor(
-                arr.transpose(3, 2, 0, 1))
-        else:
-            sd[torch_key + ".weight"] = torch.tensor(
-                arr.transpose(3, 2, 0, 1))
+    def put_conv(torch_key, arr):
+        # HWIO -> OIHW; the same transpose covers depthwise kernels
+        # (see _conv_kernel)
+        sd[torch_key + ".weight"] = torch.tensor(arr.transpose(3, 2, 0, 1))
 
     def put_bias(torch_key, arr):
         sd[torch_key + ".bias"] = torch.tensor(arr)

@@ -93,19 +93,28 @@ class TileDB:
             f["mask"].read_direct(masks, np.s_[start:end])
         return imgs, masks
 
+    def shard_range(self, shard: Tuple[int, int]) -> Tuple[int, int]:
+        """(lo, hi) rows of this partition owned by shard (k, n).
+
+        BALANCED floor split — every shard gets exactly
+        ``partition_size // n`` rows (the tail remainder is dropped for
+        the epoch).  Equal per-shard sizes are load-bearing for
+        multi-host SPMD training: a ceil split (the reference's
+        per-worker range math, db/database.py:129-149) hands hosts
+        different batch counts after drop_last and the uneven host
+        exits mid-epoch while the others block in a collective.
+        """
+        k, n = shard
+        per = self.partition_size // n if n > 1 else self.partition_size
+        lo = self.start + k * per
+        return lo, min(lo + per, self.end)
+
     def iter_chunks(self, chunk_size: int = 1000,
                     shard: Tuple[int, int] = (0, 1)
                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (img, mask) chunks over this partition.
-
-        shard=(k, n) splits the partition across n data-parallel hosts
-        with the same ceil-split index math as the reference's
-        per-worker DB ranges (db/database.py:129-149).
-        """
-        k, n = shard
-        per = int(math.ceil(self.partition_size / float(n)))
-        lo = min(self.start + k * per, self.end)
-        hi = min(lo + per, self.end)
+        """Yield (img, mask) chunks over this partition (or this
+        shard's balanced slice of it, see :meth:`shard_range`)."""
+        lo, hi = self.shard_range(shard)
         for s in range(lo, hi, chunk_size):
             yield self.read_chunk(s, min(s + chunk_size, hi))
 

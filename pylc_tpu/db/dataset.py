@@ -42,7 +42,12 @@ class TileDataset:
         self.seed = seed
         self.shard = shard
         self.prefetch = prefetch
-        self.size = db.partition_size
+        # size of THIS shard's slice (== partition size at shard (0,1));
+        # n_batches must reflect what __iter__ actually yields or
+        # steps_per_epoch-derived LR schedules silently run at the
+        # wrong rate in multi-host training
+        lo, hi = db.shard_range(shard)
+        self.size = hi - lo
         self._epoch = 0
 
     @property
@@ -66,8 +71,12 @@ class TileDataset:
             try:
                 for item in it:
                     q.put(item)
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # propagate read errors to the consumer: silently
+                # stopping would truncate the epoch and train on a
+                # fraction of the dataset without any visible failure
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -75,6 +84,8 @@ class TileDataset:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -57,8 +57,14 @@ class Metrics:
 class Evaluator:
     """Per-image and aggregate evaluation with artifact output."""
 
-    def __init__(self, cfg: Config, output_dir: Optional[str] = None):
+    def __init__(self, cfg: Config, output_dir: Optional[str] = None,
+                 keep_aggregate: bool = True):
+        """keep_aggregate: buffer every image's encoded class maps for
+        aggregate metrics.  Callers that never aggregate should pass
+        False — the buffers are ~30-40 MB per 15-20 MP photo and a
+        100-photo run would otherwise hold gigabytes for no output."""
         self.cfg = cfg
+        self.keep_aggregate = keep_aggregate
         self.metrics = Metrics()
         base = output_dir or os.path.join(cfg.output_dir, cfg.id or "model")
         self.masks_dir = os.path.join(base, "masks")
@@ -99,8 +105,9 @@ class Evaluator:
             pal = np.asarray(self.cfg.palette_rgb, np.uint8)
             self.y_pred = native.class_encode(mask_pred_rgb, pal).ravel()
             self.y_true = native.class_encode(mask_true, pal).ravel()
-            self.y_true_aggregate.append(self.y_true)
-            self.y_pred_aggregate.append(self.y_pred)
+            if self.keep_aggregate:
+                self.y_true_aggregate.append(self.y_true)
+                self.y_pred_aggregate.append(self.y_pred)
         return self
 
     def evaluate(self, aggregate: bool = False,

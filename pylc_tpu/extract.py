@@ -133,13 +133,17 @@ class Extractor:
 
     def coshuffle(self, seed: int = 0):
         imgs = np.concatenate(self.imgs)
-        masks = np.concatenate(self.masks)
         perm = np.random.default_rng(seed).permutation(len(imgs))
         self.imgs = [imgs[perm]]
-        self.masks = [masks[perm]]
+        if self.masks:  # mask-less extraction (inference-only DB)
+            self.masks = [np.concatenate(self.masks)[perm]]
         return self
 
     def profile(self, chunk: int = 256):
+        if not self.masks:
+            # class statistics need labels; mask-less extraction keeps
+            # whatever stats the config already carries
+            return self
         imgs = np.concatenate(self.imgs)
         masks = np.concatenate(self.masks)
         chunks = ((imgs[i:i + chunk], masks[i:i + chunk])

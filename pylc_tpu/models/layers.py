@@ -62,8 +62,10 @@ def make_norm(norm_type: str, train: bool, dtype=None,
                        momentum=0.9, epsilon=1e-5, dtype=dtype,
                        axis_name=name)
     if norm_type == "instance":
-        # InstanceNorm = GroupNorm with one group per channel
-        return partial(nn.GroupNorm, group_size=1, epsilon=1e-5, dtype=dtype)
+        # InstanceNorm = GroupNorm with one group per channel (flax
+        # requires num_groups=None to be explicit alongside group_size)
+        return partial(nn.GroupNorm, num_groups=None, group_size=1,
+                       epsilon=1e-5, dtype=dtype)
     if norm_type == "layer":
         return partial(nn.LayerNorm, epsilon=1e-5, dtype=dtype)
     raise ValueError(f"Unknown normalizer '{norm_type}'.")

@@ -47,7 +47,8 @@ def build_model(cfg: Config, train: bool = False,
                     depth=cfg.unet_depth, wf=cfg.unet_wf, dtype=dtype)
     if cfg.arch == "resunet":
         return ResUNet(n_classes=cfg.n_classes, up_mode=cfg.up_mode, act=act,
-                       depth=cfg.unet_depth, wf=cfg.unet_wf, dtype=dtype)
+                       norm=norm, depth=cfg.unet_depth, wf=cfg.unet_wf,
+                       dtype=dtype)
     if cfg.arch == "deeplab":
         # remat backbone blocks during training: recompute activations
         # in the backward pass, trading ~30% FLOPs for the HBM that

@@ -21,21 +21,28 @@ from pylc_tpu.models.layers import center_crop, resize_bilinear_align_corners
 class UNetResBlock(nn.Module):
     features: int
     act: Callable
+    norm: Callable[..., nn.Module] = None  # phase-bound factory
     padding: str = "VALID"
     dtype: Any = None
+
+    def _norm(self, y, train):
+        # cfg.norm_type flows in as a phase-bound factory (make_norm);
+        # the BatchNorm fallback keeps standalone use working
+        if self.norm is not None:
+            return self.norm()(y)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5)(y)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (3, 3), padding=self.padding,
                     dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(y)
+        y = self._norm(y, train)
         y = self.act(y)
         y = nn.Conv(self.features, (3, 3), padding=self.padding,
                     dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(y)
+        y = self._norm(y, train)
         if residual.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1), use_bias=False,
                                dtype=self.dtype,
@@ -48,6 +55,7 @@ class ResUNetUpBlock(nn.Module):
     features: int
     up_mode: str
     act: Callable
+    norm: Callable[..., nn.Module] = None
     padding: str = "VALID"
     dtype: Any = None
 
@@ -62,8 +70,8 @@ class ResUNetUpBlock(nn.Module):
             x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
         bridge = center_crop(bridge, x.shape[-3], x.shape[-2])
         x = jnp.concatenate([x, bridge.astype(x.dtype)], axis=-1)
-        return UNetResBlock(self.features, self.act, self.padding,
-                            self.dtype)(x, train=train)
+        return UNetResBlock(self.features, self.act, self.norm,
+                            self.padding, self.dtype)(x, train=train)
 
 
 class ResUNet(nn.Module):
@@ -72,6 +80,7 @@ class ResUNet(nn.Module):
     wf: int = 6
     up_mode: str = "upsample"
     act: Callable = nn.relu
+    norm: Callable[..., nn.Module] = None
     padding: str = "VALID"
     dtype: Any = None
 
@@ -79,14 +88,15 @@ class ResUNet(nn.Module):
     def __call__(self, x, *, train: bool = False):
         blocks = []
         for i in range(self.depth):
-            x = UNetResBlock(2 ** (self.wf + i), self.act, self.padding,
-                             self.dtype, name=f"enc{i}")(x, train=train)
+            x = UNetResBlock(2 ** (self.wf + i), self.act, self.norm,
+                             self.padding, self.dtype,
+                             name=f"enc{i}")(x, train=train)
             if i != self.depth - 1:
                 blocks.append(x)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i, j in enumerate(reversed(range(self.depth - 1))):
             x = ResUNetUpBlock(2 ** (self.wf + j), self.up_mode, self.act,
-                               self.padding, self.dtype,
+                               self.norm, self.padding, self.dtype,
                                name=f"dec{i}")(x, blocks[-i - 1], train=train)
         x = nn.Conv(self.n_classes, (1, 1), name="head")(x)
         return x.astype(jnp.float32)

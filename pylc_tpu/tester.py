@@ -61,7 +61,7 @@ def test(cfg: Config, model_path: str, img_path: str,
         crf = make_crf(cfg)
 
     seg = Segmenter(cfg, state, predict, batch_size=16, crf=crf)
-    evaluator = Evaluator(cfg)
+    evaluator = Evaluator(cfg, keep_aggregate=aggregate_metrics)
     files = collate(img_path, mask_path)
     results = []
 

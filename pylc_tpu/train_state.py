@@ -117,7 +117,11 @@ def _prepare_batch(cfg: Config, img, mask, flip: Optional[jnp.ndarray]):
                         default=cfg.normalize_default)
     if cfg.ch == 1 and cfg.arch == "deeplab":
         x = jnp.concatenate([x, x, x], axis=-1)
-    if mask is not None and cfg.arch == "unet":
+    if mask is not None and cfg.arch in ("unet", "resunet"):
+        # valid-conv geometry: target cropped to the output window.
+        # The reference crops only for 'unet' (models/model.py:306),
+        # leaving its ResUNet train path shape-broken — same valid-conv
+        # geometry, same crop (docs/DEVIATIONS.md F2).
         lo, hi = cfg.crop_window
         mask = mask[:, lo:hi, lo:hi]
     return x, mask
@@ -185,13 +189,18 @@ def make_train_step(cfg: Config, model, mesh=None):
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = model.apply(variables, x, train=True,
-                              rngs={"dropout": drop_rng}, mutable=mutable)
-            logits, new_vars = out if mutable else (out, {})
+                logits, new_vars = model.apply(
+                    variables, x, train=True,
+                    rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+            else:
+                # passing mutable=[] would STILL switch apply to the
+                # (out, vars) tuple return — norm types without running
+                # stats must call apply without the kwarg
+                logits = model.apply(variables, x, train=True,
+                                     rngs={"dropout": drop_rng})
+                new_vars = {}
             total, aux = loss_impl(logits, y, cw, lw)
             return total, (aux, new_vars.get("batch_stats", state.batch_stats))
 

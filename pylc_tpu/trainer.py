@@ -74,9 +74,12 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     # (and hence the saved checkpoints) agree across hosts.
     n_proc = jax.process_count()
     proc_i = jax.process_index()
+    # the global batch must divide over the mesh (n_proc divides n_mesh:
+    # every process owns >=1 chip) — validation pads partial batches up
+    # to `batch`, so `batch` itself has to shard evenly
     batch = max(cfg.batch_size, n_mesh)
-    if batch % n_proc:
-        batch += n_proc - batch % n_proc
+    if batch % n_mesh:
+        batch += n_mesh - batch % n_mesh
 
     tr_ds = TileDataset(tr_db, batch_size=batch // n_proc, shuffle=True,
                         drop_last=True, chunk_size=cfg.buffer_size,
@@ -192,8 +195,12 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         if n_val == 0 and verbose:
             print("  warning: validation split is empty")
         loss.log(it, training=False)
-        ckpt.save(state, cfg, epoch, is_best=loss.is_best)
-        loss.save()
+        # only process 0 writes artifacts: every host computes identical
+        # metrics (full valid split, global-batch reductions), and
+        # concurrent writers would race on the shared .tmp path
+        if proc_i == 0:
+            ckpt.save(state, cfg, epoch, is_best=loss.is_best)
+            loss.save()
         if verbose:
             print(loss.status("valid"))
 
@@ -218,7 +225,8 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
             loss.push(metrics)
             if it % cfg.report == 0:
                 loss.log(it, training=True)
-                loss.save()
+                if proc_i == 0:
+                    loss.save()
                 if verbose:
                     print(f"  step {it}: {loss.status('train')}")
         loss.log(it, training=True)

@@ -79,16 +79,24 @@ def test_dataset_batching_and_shuffle(tmp_path):
 
 
 def test_dataset_shard_split(tmp_path):
-    """Per-host shard ranges partition the dataset without overlap
-    (reference init_worker semantics, db/database.py:129-149)."""
+    """Per-host shard ranges: BALANCED disjoint slices (each host gets
+    exactly size//n rows; the remainder is dropped so every host runs
+    the same number of SPMD steps — an uneven ceil split would deadlock
+    a collective mid-epoch)."""
     path, imgs, _, _ = _make_db(tmp_path, n=20)
     db = TileDB(path)
-    seen = []
+    shards = []
     for k in range(3):
-        for im, _ in db.iter_chunks(chunk_size=100, shard=(k, 3)):
-            seen.append(im)
-    got = np.concatenate(seen)
-    assert len(got) == 20
-    np.testing.assert_array_equal(
-        np.sort(got.sum(axis=(1, 2, 3))),
-        np.sort(imgs.sum(axis=(1, 2, 3))))
+        rows = [im for im, _ in db.iter_chunks(chunk_size=100,
+                                               shard=(k, 3))]
+        shards.append(np.concatenate(rows))
+    sizes = [len(s) for s in shards]
+    assert sizes == [6, 6, 6]  # equal on every host
+    got = np.concatenate(shards)
+    all_sums = set(imgs.sum(axis=(1, 2, 3)).tolist())
+    got_sums = got.sum(axis=(1, 2, 3)).tolist()
+    assert len(set(got_sums)) == len(got_sums)  # disjoint
+    assert set(got_sums) <= all_sums            # subset of the data
+    # the unsharded view still covers everything
+    full = np.concatenate([im for im, _ in db.iter_chunks(100)])
+    assert len(full) == 20

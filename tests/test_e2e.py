@@ -288,3 +288,14 @@ def test_pretrained_user_path_missing_fails_loudly(extracted_db, tiny_cfg,
         else extracted_db
     with pytest.raises(FileNotFoundError, match="pretrained"):
         train(cfg, db_path, verbose=False)
+
+
+def test_extract_without_masks(synthetic_dataset, tiny_cfg, tmp_path):
+    """Mask-less extraction (inference-only DB) must survive the full
+    extract -> coshuffle -> profile -> save chain (the CLI path)."""
+    from pylc_tpu.extract import Extractor
+    img_dir = synthetic_dataset[0]
+    ex = Extractor(tiny_cfg).load(img_dir, None)
+    ex.extract().coshuffle().profile()
+    path = ex.save(str(tmp_path))
+    assert os.path.exists(path)

@@ -121,3 +121,41 @@ def test_rgb2hex_matches_schema():
     s = Schema.load(DEFAULT_SCHEMA)
     for rgb, hx in zip(s.palette_rgb, s.palette_hex):
         assert rgb2hex(rgb) == hx
+
+
+def test_instance_norm_builds_and_runs(rng):
+    """norm_type='instance' is a documented choice (cli --normalize);
+    it must construct (flax needs num_groups=None with group_size)."""
+    import jax
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_train_step
+
+    cfg = Config().replace(arch="unet", ch=3, tile_size=32, input_size=32,
+                           output_size=16, unet_depth=2, unet_wf=2,
+                           norm_type="instance", dropout=0.0, batch_size=2)
+    state, model = init_state(cfg, jax.random.PRNGKey(0), 10)
+    step = make_train_step(cfg, model)
+    img = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    mask = rng.integers(0, 9, (2, 32, 32)).astype(np.uint8)
+    state, m = step(state, img, mask, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total"]))
+
+
+def test_resunet_respects_norm_type(rng):
+    """ResUNet must honour cfg.norm_type (it used to hardcode
+    BatchNorm, which crashed under --normalize layer because the train
+    step only tracks batch_stats when norm_type is batch-like)."""
+    import jax
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_train_step
+
+    cfg = Config().replace(arch="resunet", ch=3, tile_size=32,
+                           input_size=32, output_size=16, unet_depth=2,
+                           unet_wf=2, norm_type="layer", batch_size=2)
+    state, model = init_state(cfg, jax.random.PRNGKey(0), 10)
+    assert not state.batch_stats  # LayerNorm keeps no running stats
+    step = make_train_step(cfg, model)
+    img = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    mask = rng.integers(0, 9, (2, 32, 32)).astype(np.uint8)
+    state, m = step(state, img, mask, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total"]))
