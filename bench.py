@@ -65,7 +65,10 @@ def synthetic_photo(cfg, mp_w=3872, mp_h=2592, seed=0):
     return fitted
 
 
-def bench_infer(use_crf=False, repeats=3):
+def bench_infer(use_crf=False, repeats=6):
+    # best-of-6: the tunneled H2D link to the bench chip varies 3x
+    # run-to-run, and a single slow window otherwise dominates the
+    # wall metric (device compute is stable at ~152 ms/10MP photo)
     cfg, seg = build_segmenter(crf=use_crf)
     fitted = synthetic_photo(cfg)
     seg.segment_array(fitted)  # compile
