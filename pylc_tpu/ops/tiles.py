@@ -111,7 +111,7 @@ def unfold_tiles(img: jnp.ndarray, tile_size: int, stride: int
 
 
 def accumulate_blocks(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
-                      tile_size: int, stride: int):
+                      tile_size: int, stride: int, tile_weights=None):
     """Overlap-ADD tile maps into canvas block space (no division).
 
     Returns (acc [Rb, Cb, s, s, C] f32, cnt [Rb, Cb, 1, 1, 1] f32) with
@@ -119,6 +119,11 @@ def accumulate_blocks(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
     and the halo-exchange sharded stitch
     (pylc_tpu/parallel/sharded_stitch.py), whose shards each accumulate
     their local tile rows with this function.
+
+    tile_weights: optional [N] per-tile weights applied to both the
+    probability sums and the coverage counts — weight-0 tiles are
+    invisible (the sharded stitch pads the grid to an even per-shard
+    row count with zero-weight tiles).
     """
     N, T, T2, C = tile_probs.shape
     assert T == tile_size and T2 == tile_size
@@ -130,6 +135,10 @@ def accumulate_blocks(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
     # [nR, nC, k, s, k, s, C] -> sub-blocks [nR, nC, k, k, s, s, C]
     t = tile_probs.reshape(n_rows, n_cols, k, s, k, s, C)
     t = t.transpose(0, 1, 2, 4, 3, 5, 6)
+    if tile_weights is not None:
+        w = tile_weights.astype(jnp.float32).reshape(n_rows, n_cols)
+    else:
+        w = None
 
     # accumulate in f32 regardless of input precision (tile probs may
     # arrive bf16 to halve their HBM footprint at 10MP scale)
@@ -137,9 +146,14 @@ def accumulate_blocks(tile_probs: jnp.ndarray, n_rows: int, n_cols: int,
     cnt = jnp.zeros((Rb, Cb, 1, 1, 1), jnp.float32)
     for a in range(k):
         for b in range(k):
-            acc = acc.at[a:a + n_rows, b:b + n_cols].add(
-                t[:, :, a, b].astype(jnp.float32))
-            cnt = cnt.at[a:a + n_rows, b:b + n_cols].add(1.0)
+            part = t[:, :, a, b].astype(jnp.float32)
+            if w is None:
+                acc = acc.at[a:a + n_rows, b:b + n_cols].add(part)
+                cnt = cnt.at[a:a + n_rows, b:b + n_cols].add(1.0)
+            else:
+                wb = w[:, :, None, None, None]
+                acc = acc.at[a:a + n_rows, b:b + n_cols].add(part * wb)
+                cnt = cnt.at[a:a + n_rows, b:b + n_cols].add(wb)
     return acc, cnt
 
 

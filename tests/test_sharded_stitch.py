@@ -27,6 +27,9 @@ def mesh8():
     (8, 5, 32, 16),    # k=2, one spill row per boundary
     (32, 3, 32, 8),    # k=4, three spill rows per boundary
     (8, 4, 32, 32),    # k=1, no overlap, no halo
+    (9, 5, 32, 16),    # uneven: 9 rows over 8 devices (zero-weight pad)
+    (13, 3, 32, 16),   # uneven, bigger remainder
+    (6, 4, 32, 32),    # uneven, k=1
 ])
 def test_sharded_stitch_matches_single_device(mesh8, rng, n_rows, n_cols,
                                               tile, stride):
@@ -37,9 +40,10 @@ def test_sharded_stitch_matches_single_device(mesh8, rng, n_rows, n_cols,
     ref = np.asarray(stitch_probs(jnp.asarray(probs), n_rows, n_cols,
                                   tile, stride))
     assert can_shard(n_rows, tile, stride, 8)
-    sharded = stitch_probs_sharded(
-        shard_tiles_by_row(mesh8, probs), n_rows, n_cols, tile, stride,
-        mesh8)
+    placed = shard_tiles_by_row(mesh8, probs) if n_rows % 8 == 0 \
+        else jnp.asarray(probs)
+    sharded = stitch_probs_sharded(placed, n_rows, n_cols, tile, stride,
+                                   mesh8)
     np.testing.assert_allclose(np.asarray(sharded), ref, rtol=1e-6,
                                atol=1e-7)
 
@@ -57,5 +61,5 @@ def test_sharded_stitch_roundtrip_constant_canvas(mesh8):
 
 def test_can_shard_guard():
     assert can_shard(8, 32, 16, 8)
-    assert not can_shard(9, 32, 16, 8)      # not divisible
+    assert can_shard(9, 32, 16, 8)          # uneven: zero-weight pad
     assert not can_shard(8, 32, 4, 8)       # k-1 = 7 > 1 local row
