@@ -121,6 +121,25 @@ def get_parser() -> argparse.ArgumentParser:
     te.add_argument("--aggregate_metrics", action="store_true")
     te.add_argument("--crf", action="store_true",
                     help="Apply dense-CRF mean-field refinement.")
+    te.add_argument("--crf_iters", type=int, default=None,
+                    help="Mean-field iterations (default 5).")
+    te.add_argument("--crf_radius", type=int, default=None,
+                    help="Message-passing window radius (default 3).")
+    te.add_argument("--crf_downsample", type=int, default=None,
+                    help="Message-passing grid subsampling: 1 = full "
+                         "resolution, 2 (default) halves it — see "
+                         "docs/CRF_TUNING.md for the quality/speed "
+                         "frontier.")
+    te.add_argument("--crf_w_app", type=float, default=None,
+                    help="Appearance (bilateral) kernel weight.")
+    te.add_argument("--crf_sigma_app", type=float, default=None,
+                    help="Appearance spatial sigma (grid px).")
+    te.add_argument("--crf_sigma_color", type=float, default=None,
+                    help="Appearance colour sigma (intensity units).")
+    te.add_argument("--crf_w_smooth", type=float, default=None,
+                    help="Smoothness (Gaussian) kernel weight.")
+    te.add_argument("--crf_sigma_smooth", type=float, default=None,
+                    help="Smoothness spatial sigma (grid px).")
     te.set_defaults(func=run_test)
 
     return p
@@ -195,11 +214,17 @@ def run_profile(args):
 
 
 def run_train(args):
-    if getattr(args, "multihost", False) or \
-            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    if getattr(args, "multihost", False):
         # must run before the first jax device query (SURVEY §5.8 DCN)
         from pylc_tpu.parallel.mesh import init_distributed
         init_distributed()
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # a stale coordinator env var without --multihost would make
+        # jax.distributed block on a coordinator that may not exist;
+        # require the explicit flag and say why we ignored the env var
+        print("JAX_COORDINATOR_ADDRESS is set but --multihost was not "
+              "given; running single-host (pass --multihost to "
+              "initialize jax.distributed).")
     from pylc_tpu.trainer import train
     cfg = _cfg_from_args(args)
     summary = train(cfg, args.db, n_devices=getattr(args, "n_devices", None))

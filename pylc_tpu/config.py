@@ -218,6 +218,21 @@ class Config:
     compute_dtype: str = "bfloat16"
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'data': 8}
     fused_loss: str = "auto"  # auto|on|off — Pallas multi-loss kernel
+
+    # dense-CRF mean-field refinement (net-new capability: the reference
+    # README advertises a CRF filter but ships no code — SURVEY.md
+    # headline facts; ops/crf.py).  Defaults picked from the measured
+    # accuracy-vs-throughput frontier in docs/CRF_TUNING.md.
+    crf: bool = False
+    crf_iters: int = 5
+    crf_radius: int = 3
+    crf_downsample: int = 2     # message-passing grid subsampling
+    crf_w_app: float = 3.0      # appearance (bilateral) kernel weight
+    crf_sigma_app: float = 3.0  # appearance spatial sigma (grid px)
+    crf_sigma_color: float = 13.0
+    crf_w_smooth: float = 1.0   # smoothness (Gaussian) kernel weight
+    crf_sigma_smooth: float = 1.5
+
     remat_backbone: bool = False  # rematerialize backbone blocks in training
     # (measured on v5e: block-level remat halves step speed without
     #  lifting the batch-32 HBM ceiling — inter-block activations

@@ -22,7 +22,7 @@ import pickle
 import re
 import sys
 import types
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -273,8 +273,12 @@ def load_resnet101_imagenet(pth_path: str, state):
     """Overlay ImageNet resnet101 weights onto a DeepLab state's backbone
     (key-filtered like reference models/backbone/resnet.py:149-158)."""
     data = load_reference_pth(pth_path)
-    sd = data if isinstance(data, dict) and "conv1.weight" in data else \
-        data.get("state_dict", data)
+    if isinstance(data, dict):
+        sd = data if "conv1.weight" in data else data.get("state_dict", data)
+    else:
+        raise ValueError(
+            f"{pth_path}: expected a state_dict pickle, got "
+            f"{type(data).__name__} — not an ImageNet resnet101 checkpoint.")
     # drop the fc head; keep conv/bn keys that exist in our tree
     sd = {k: v for k, v in sd.items() if not k.startswith("fc.")}
     params, stats = convert_resnet_backbone(sd, "")
@@ -329,8 +333,10 @@ def load_xception_imagenet(pth_path: str, state, verbose: bool = False):
     nothing at all maps (a wrong file should fail loudly, not train
     from scratch silently)."""
     data = load_reference_pth(pth_path)
-    sd = data if isinstance(data, dict) and "conv1.weight" in data else \
-        data.get("state_dict", data)
+    if isinstance(data, dict):
+        sd = data if "conv1.weight" in data else data.get("state_dict", data)
+    else:
+        sd = {}  # pickled nn.Module etc. -> the loud no-keys-mapped error
     sd = expand_zoo_xception_state_dict(sd)
     params, stats = convert_xception_backbone(sd, "", strict=False)
 
@@ -427,11 +433,15 @@ def _unfreeze(tree):
 # export (jax -> .pth)
 # --------------------------------------------------------------------- #
 
-def export_deeplab_pth(state, cfg, out_path: str, backbone: str = "resnet"):
+def export_deeplab_pth(state, cfg, out_path: str,
+                       backbone: Optional[str] = None):
     """Write a reference-schema .pth ({'model': state_dict, 'meta': dict})
-    from a pylc_tpu DeepLab state, inverting the conversion maps."""
+    from a pylc_tpu DeepLab state, inverting the conversion maps
+    (reference checkpoint schema: models/modules/checkpoint.py:53-66).
+    Covers both backbones; round-trip tested in tests/test_convert.py."""
     import torch
 
+    backbone = backbone or getattr(cfg, "backbone", "resnet")
     params = _unfreeze(_to_np(state.params))
     stats = _unfreeze(_to_np(state.batch_stats))
     sd: Dict[str, Any] = {}
@@ -450,21 +460,25 @@ def export_deeplab_pth(state, cfg, out_path: str, backbone: str = "resnet"):
         sd[torch_key + ".running_mean"] = torch.tensor(s_sub["mean"])
         sd[torch_key + ".running_var"] = torch.tensor(s_sub["var"])
 
-    # backbone (resnet only for now)
     bp, bs = params["backbone"], stats["backbone"]
-    put_conv("backbone.conv1", bp["conv1"]["kernel"])
-    put_bn("backbone.bn1", bp["bn1"], bs["bn1"])
-    for name in sorted(k for k in bp if k.startswith("layer")):
-        L, i = name.replace("layer", "").split("_")
-        tp = f"backbone.layer{L}.{i}"
-        for k in (1, 2, 3):
-            put_conv(f"{tp}.conv{k}", bp[name][f"conv{k}"]["kernel"])
-            put_bn(f"{tp}.bn{k}", bp[name][f"bn{k}"], bs[name][f"bn{k}"])
-        if "downsample_conv" in bp[name]:
-            put_conv(f"{tp}.downsample.0",
-                     bp[name]["downsample_conv"]["kernel"])
-            put_bn(f"{tp}.downsample.1", bp[name]["downsample_bn"],
-                   bs[name]["downsample_bn"])
+    if backbone == "resnet":
+        put_conv("backbone.conv1", bp["conv1"]["kernel"])
+        put_bn("backbone.bn1", bp["bn1"], bs["bn1"])
+        for name in sorted(k for k in bp if k.startswith("layer")):
+            L, i = name.replace("layer", "").split("_")
+            tp = f"backbone.layer{L}.{i}"
+            for k in (1, 2, 3):
+                put_conv(f"{tp}.conv{k}", bp[name][f"conv{k}"]["kernel"])
+                put_bn(f"{tp}.bn{k}", bp[name][f"bn{k}"], bs[name][f"bn{k}"])
+            if "downsample_conv" in bp[name]:
+                put_conv(f"{tp}.downsample.0",
+                         bp[name]["downsample_conv"]["kernel"])
+                put_bn(f"{tp}.downsample.1", bp[name]["downsample_bn"],
+                       bs[name]["downsample_bn"])
+    elif backbone == "xception":
+        _export_xception_backbone(sd, bp, bs, put_conv, put_bn)
+    else:
+        raise ValueError(f"unknown backbone '{backbone}'")
 
     ap, as_ = params["aspp"], stats["aspp"]
     for i in (1, 2, 3, 4):
@@ -487,6 +501,48 @@ def export_deeplab_pth(state, cfg, out_path: str, backbone: str = "resnet"):
 
     torch.save({"model": sd, "meta": cfg.to_meta()}, out_path)
     return out_path
+
+
+def _export_xception_backbone(sd: Dict, bp: Dict, bs: Dict,
+                              put_conv, put_bn):
+    """Inverse of convert_xception_backbone: flax AlignedXception
+    subtrees -> reference state_dict keys.
+
+    The reference Block builds its ``rep`` Sequential as repeated
+    [ReLU, SeparableConv2d, BatchNorm] units, dropping the leading ReLU
+    when start_with_relu=False (models/backbone/xception.py:42-89), so
+    separable j sits at rep index 3j (blocks 1-2) or 3j+1 (blocks 3-20),
+    and its trailing BN one index later.  Every aligned block has
+    exactly 3 units."""
+    def put_separable(torch_prefix, p_sub, s_sub):
+        put_conv(torch_prefix + ".conv1", p_sub["depthwise"]["kernel"])
+        put_bn(torch_prefix + ".bn", p_sub["bn"], s_sub["bn"])
+        put_conv(torch_prefix + ".pointwise", p_sub["pointwise"]["kernel"])
+
+    put_conv("backbone.conv1", bp["conv1"]["kernel"])
+    put_bn("backbone.bn1", bp["bn1"], bs["bn1"])
+    put_conv("backbone.conv2", bp["conv2"]["kernel"])
+    put_bn("backbone.bn2", bp["bn2"], bs["bn2"])
+
+    for n in range(1, 21):
+        blk_p, blk_s = bp[f"block{n}"], bs[f"block{n}"]
+        base = 0 if n <= 2 else 1  # start_with_relu=False strips rep.0
+        j = 0
+        while f"sep{j}" in blk_p:
+            i = 3 * j + base
+            put_separable(f"backbone.block{n}.rep.{i}",
+                          blk_p[f"sep{j}"], blk_s[f"sep{j}"])
+            put_bn(f"backbone.block{n}.rep.{i + 1}",
+                   blk_p[f"sepbn{j}"], blk_s[f"sepbn{j}"])
+            j += 1
+        if "skip" in blk_p:
+            put_conv(f"backbone.block{n}.skip", blk_p["skip"]["kernel"])
+            put_bn(f"backbone.block{n}.skipbn", blk_p["skipbn"],
+                   blk_s["skipbn"])
+
+    for i in (3, 4, 5):
+        put_separable(f"backbone.conv{i}", bp[f"conv{i}"], bs[f"conv{i}"])
+        put_bn(f"backbone.bn{i}", bp[f"bn{i}"], bs[f"bn{i}"])
 
 
 def _to_np(tree):

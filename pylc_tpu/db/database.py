@@ -43,6 +43,7 @@ class TileDB:
         self.data = data
         self.partition = partition
         self.clip = clip
+        self._warned_tail = False
 
         if data is not None:
             self.size = int(clip * len(data["img"]))
@@ -106,6 +107,23 @@ class TileDB:
         """
         k, n = shard
         per = self.partition_size // n if n > 1 else self.partition_size
+        if n > 1:
+            if per == 0:
+                # every shard would be empty -> zero steps per epoch on
+                # every host, a silent no-op training run
+                raise ValueError(
+                    f"partition of {self.partition_size} rows cannot be "
+                    f"split over {n} hosts (floor share is 0); shrink the "
+                    "host count or grow the dataset.")
+            tail = self.partition_size - per * n
+            if tail and k == 0 and not self._warned_tail:
+                import warnings
+                warnings.warn(
+                    f"balanced {n}-way split drops the {tail}-row tail of "
+                    f"the {self.partition_size}-row partition each epoch "
+                    "(equal per-host sizes are required for SPMD).",
+                    stacklevel=2)
+                self._warned_tail = True
         lo = self.start + k * per
         return lo, min(lo + per, self.end)
 

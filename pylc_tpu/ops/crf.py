@@ -163,8 +163,23 @@ def np_exp(v: float) -> float:
 
 def make_crf(cfg=None, **overrides):
     """CRF callable (canvas_probs, guide_img) -> refined probs, matching
-    the Segmenter's crf hook signature."""
-    params = CRFParams(**overrides)
+    the Segmenter's crf hook signature.
+
+    Parameters come from the Config's ``crf_*`` fields (reachable from
+    the CLI: ``test --crf --crf_iters ... --crf_downsample ...``), with
+    keyword ``overrides`` taking precedence; defaults sit on the
+    measured accuracy/throughput frontier (docs/CRF_TUNING.md)."""
+    kw = {}
+    if cfg is not None:
+        kw = dict(n_iters=cfg.crf_iters, radius=cfg.crf_radius,
+                  downsample=cfg.crf_downsample,
+                  w_appearance=cfg.crf_w_app,
+                  sigma_spatial_app=cfg.crf_sigma_app,
+                  sigma_color=cfg.crf_sigma_color,
+                  w_smoothness=cfg.crf_w_smooth,
+                  sigma_spatial_sm=cfg.crf_sigma_smooth)
+    kw.update(overrides)
+    params = CRFParams(**kw)
 
     def crf(canvas, guide):
         return mean_field(canvas, guide, params)

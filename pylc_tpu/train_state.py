@@ -214,13 +214,18 @@ def make_train_step(cfg: Config, model, mesh=None):
 
 
 def make_eval_step(cfg: Config, model_eval):
-    """Jitted validation step: (state, img, mask, n_valid) -> metrics.
+    """Jitted validation step: (state, img, mask, valid) -> metrics.
 
-    ``n_valid`` (traced scalar) excludes padded samples at the batch
-    tail from every loss reduction, so partial validation batches padded
-    up to the compiled batch shape don't bias the metrics that gate the
-    best-dice checkpoint (reference train.py:146-151 never pads because
-    it recompiles nothing)."""
+    ``valid`` excludes padded samples from every loss reduction, so
+    partial validation batches padded up to the compiled batch shape
+    don't bias the metrics that gate the best-dice checkpoint
+    (reference train.py:146-151 never pads because it recompiles
+    nothing).  Either a traced scalar count (padding at the batch
+    tail) or a [B] 0/1 mask — the mask form supports multi-host
+    sharded validation, where each host contributes its own block of
+    the global batch and the padding sits at each block's tail.
+    Metrics include ``n_valid`` (the mask sum — under GSPMD a global,
+    replicated reduction) for sample-count weighting."""
     lw = LossWeights(ce=cfg.ce_weight, dice=cfg.dice_weight,
                      focal=cfg.focal_weight, weighted=cfg.weighted,
                      dice_smooth=cfg.dice_smooth, fl_alpha=cfg.fl_alpha,
@@ -229,16 +234,18 @@ def make_eval_step(cfg: Config, model_eval):
         if cfg.weights is not None else None
     has_bn = cfg.norm_type in ("batch", "syncbatch")
 
-    def step(state: TrainState, img, mask, n_valid):
+    def step(state: TrainState, img, mask, valid):
         x, y = _prepare_batch(cfg, img, mask.astype(jnp.int32), None)
         variables = {"params": state.params}
         if has_bn:
             variables["batch_stats"] = state.batch_stats
         logits = model_eval.apply(variables, x, train=False)
-        sm = (jnp.arange(img.shape[0]) < n_valid).astype(jnp.float32)
+        valid = jnp.asarray(valid)
+        sm = (jnp.arange(img.shape[0]) < valid).astype(jnp.float32) \
+            if valid.ndim == 0 else valid.astype(jnp.float32)
         total, aux = multi_loss(logits, y, class_weights=cw, w=lw,
                                 sample_mask=sm)
-        return dict(aux, total=total)
+        return dict(aux, total=total, n_valid=jnp.sum(sm))
 
     return jax.jit(step)
 

@@ -69,27 +69,43 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     # multi-host (DCN): each process reads only its shard of the train
     # split and contributes its rows of the global batch (the TileDB
     # shard math reproduces the reference's per-worker range split,
-    # db/database.py).  Validation is deliberately NOT sharded: every
-    # host evaluates the identical full split so the best-dice gate
-    # (and hence the saved checkpoints) agree across hosts.
+    # db/database.py).
     n_proc = jax.process_count()
     proc_i = jax.process_index()
+    # validation is SHARDED too when the split is big enough: each host
+    # reads + feeds only its balanced slice, and the metric reductions
+    # run over the global batch under GSPMD (psum over ICI/DCN), so the
+    # best-dice gate agrees across hosts by construction with 1/n the
+    # per-host IO (round-2 review: replicated validation was O(hosts)
+    # redundant work).  A split smaller than the host count falls back
+    # to the replicated full-split walk.
+    va_sharded = n_proc > 1 and va_db.partition_size >= n_proc
+    va_shard = (proc_i, n_proc) if va_sharded else (0, 1)
     # the global batch must divide over the mesh (n_proc divides n_mesh:
     # every process owns >=1 chip) — validation pads partial batches up
     # to `batch`, so `batch` itself has to shard evenly
     batch = max(cfg.batch_size, n_mesh)
     if batch % n_mesh:
         batch += n_mesh - batch % n_mesh
+    if batch != cfg.batch_size and verbose:
+        # the adjustment changes LR/step semantics — make it visible
+        print(f"Global batch rounded {cfg.batch_size} -> {batch} to shard "
+              f"evenly over the {n_mesh}-device mesh.")
 
     tr_ds = TileDataset(tr_db, batch_size=batch // n_proc, shuffle=True,
                         drop_last=True, chunk_size=cfg.buffer_size,
                         shard=(proc_i, n_proc))
     # validation keeps partial batches — with a small DB the valid
     # split can be smaller than one batch, and dropping it would starve
-    # validation entirely (stale metrics, best-model never saved)
-    va_ds = TileDataset(va_db, batch_size=min(batch, va_db.partition_size)
-                        or 1, shuffle=False,
-                        drop_last=False, chunk_size=cfg.buffer_size)
+    # validation entirely (stale metrics, best-model never saved).
+    # When sharded, each host pulls batch/n_proc rows per step; the
+    # balanced shard split gives every host the same batch count, so no
+    # host exits the SPMD eval loop early.
+    va_rows = batch // n_proc if va_sharded else batch
+    va_local = va_db.shard_range(va_shard)
+    va_ds = TileDataset(va_db, batch_size=min(
+        va_rows, va_local[1] - va_local[0]) or 1, shuffle=False,
+        drop_last=False, chunk_size=cfg.buffer_size, shard=va_shard)
     steps_per_epoch = max(1, tr_ds.n_batches)
 
     # resolve pretrained-encoder request BEFORE the (expensive) model
@@ -177,26 +193,44 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         return (_place(img, sharding, n, local_rows),
                 _place(mask, mask_sharding, n, local_rows))
 
+    valid_sharding = batch_sharding(mesh, 1)
+
     def validate(state, it, epoch):
         """Validate + checkpoint (the reference saves at every
         validation, train.py:146-151)."""
         n_val = 0
         for img, mask in va_ds:
             # pad partial batches to the full batch shape so the jitted
-            # eval step compiles once; n_valid masks the padding out of
-            # the metric reductions (it feeds best-dice gating)
-            n_valid = img.shape[0]
-            metrics = eval_step(state, *put(img, mask, pad_to=batch),
-                                np.int32(n_valid))
+            # eval step compiles once; the valid mask/count keeps the
+            # padding out of the metric reductions (best-dice gating)
+            n_loc = img.shape[0]
+            if va_sharded:
+                # each host contributes its block of the global batch;
+                # padding sits at each block's tail, so validity is a
+                # [batch] mask sharded like the batch.  The balanced
+                # shard split gives every host identical n_loc, so the
+                # global sample count is known host-side (no sync).
+                vmask = (np.arange(batch // n_proc) < n_loc
+                         ).astype(np.float32)
+                gmask = jax.make_array_from_process_local_data(
+                    valid_sharding, vmask)
+                metrics = eval_step(
+                    state, *put(img, mask, pad_to=batch, local_rows=True),
+                    gmask)
+                weight = float(n_loc * n_proc)
+            else:
+                metrics = eval_step(state, *put(img, mask, pad_to=batch),
+                                    np.int32(n_loc))
+                weight = float(n_loc)
             # weight by real sample count so a partial final batch
             # doesn't carry full-batch influence on best-dice gating
-            loss.push(metrics, weight=float(n_valid))
+            loss.push(metrics, weight=weight)
             n_val += 1
         if n_val == 0 and verbose:
             print("  warning: validation split is empty")
         loss.log(it, training=False)
         # only process 0 writes artifacts: every host computes identical
-        # metrics (full valid split, global-batch reductions), and
+        # metrics (global-batch GSPMD reductions are replicated), and
         # concurrent writers would race on the shared .tmp path
         if proc_i == 0:
             ckpt.save(state, cfg, epoch, is_best=loss.is_best)

@@ -110,14 +110,15 @@ def test_resnet_state_dict_conversion_structure(rng):
 
 
 @pytest.mark.slow
-def test_export_import_roundtrip(tmp_path, rng):
+@pytest.mark.parametrize("backbone", ["resnet", "xception"])
+def test_export_import_roundtrip(tmp_path, rng, backbone):
     """export_deeplab_pth -> convert_deeplab_state_dict reproduces the
-    exact parameter tree (full ResNet101 DeepLab)."""
-    from functools import partial
+    exact parameter + batch-stats trees (both backbones; VERDICT r2
+    item 3: the interchange must be two-directional for Xception)."""
     from pylc_tpu.config import Config
     from pylc_tpu.train_state import init_state
 
-    cfg = Config().replace(arch="deeplab", backbone="resnet", ch=3,
+    cfg = Config().replace(arch="deeplab", backbone=backbone, ch=3,
                            tile_size=64)
     state, _ = init_state(cfg, jax.random.PRNGKey(0))
     out = str(tmp_path / "export.pth")
@@ -126,9 +127,8 @@ def test_export_import_roundtrip(tmp_path, rng):
     data = load_reference_pth(out)
     assert "model" in data and "meta" in data
     assert data["meta"]["arch"] == "deeplab"
-    p, s = convert_deeplab_state_dict(data["model"], "resnet")
+    p, s = convert_deeplab_state_dict(data["model"], backbone)
 
-    orig_p = jax.device_get(state.params)
     def cmp(a, b, path=""):
         if isinstance(b, dict):
             for k in b:
@@ -136,11 +136,19 @@ def test_export_import_roundtrip(tmp_path, rng):
         else:
             np.testing.assert_allclose(np.asarray(a), b, atol=1e-6,
                                        err_msg=path)
-    cmp(orig_p, p)
+    cmp(jax.device_get(state.params), p)
+    cmp(jax.device_get(state.batch_stats), s)
+
+    # the import covered every exported tensor (no silently-orphaned
+    # state_dict keys that the reference would complain about)
+    n_exported = len(data["model"])
+    n_imported = sum(1 for _ in jax.tree_util.tree_leaves((p, s)))
+    assert n_exported == n_imported
 
 
 @pytest.mark.slow
-def test_pth_model_loads_end_to_end(tmp_path, rng):
+@pytest.mark.parametrize("backbone", ["resnet", "xception"])
+def test_pth_model_loads_end_to_end(tmp_path, rng, backbone):
     """A .pth exported in the reference schema loads through
     tester.load_model and produces identical logits."""
     from pylc_tpu.config import Config
@@ -148,7 +156,7 @@ def test_pth_model_loads_end_to_end(tmp_path, rng):
     from pylc_tpu.tester import load_model
     from pylc_tpu.models.registry import build_model
 
-    cfg = Config().replace(arch="deeplab", backbone="resnet", ch=3,
+    cfg = Config().replace(arch="deeplab", backbone=backbone, ch=3,
                            tile_size=64, compute_dtype="float32")
     state, _ = init_state(cfg, jax.random.PRNGKey(1))
     out = str(tmp_path / "model.pth")
@@ -157,6 +165,7 @@ def test_pth_model_loads_end_to_end(tmp_path, rng):
     cfg2, state2, predict2 = load_model(out, Config().replace(
         tile_size=64, compute_dtype="float32"))
     assert cfg2.arch == "deeplab"
+    assert cfg2.backbone == backbone
 
     x = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
     predict1 = make_predict(cfg, build_model(cfg, train=False))

@@ -115,3 +115,108 @@ def test_eval_step_masks_padding(rng):
     for k in exact:
         np.testing.assert_allclose(float(padded[k]), float(exact[k]),
                                    rtol=1e-5)
+
+
+def test_eval_step_mask_vector_equals_subset(rng):
+    """The [B]-mask form of make_eval_step (multi-host sharded
+    validation: each host's padding sits at its own block tail, not the
+    global tail) must equal evaluating only the unmasked samples."""
+    import jax
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_eval_step
+    from pylc_tpu.models.registry import build_model
+
+    tile = 32
+    cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                           input_size=tile, output_size=16,
+                           unet_depth=2, unet_wf=2, dropout=0.0,
+                           batch_size=6)
+    state, _ = init_state(cfg, jax.random.PRNGKey(0), 10)
+    eval_step = make_eval_step(cfg, build_model(cfg, train=False))
+
+    img = rng.integers(0, 255, (6, tile, tile, 3)).astype(np.uint8)
+    mask = rng.integers(0, cfg.n_classes, (6, tile, tile)).astype(np.uint8)
+    # two "host blocks" of 3, each with its last sample padding
+    vmask = np.array([1, 1, 0, 1, 1, 0], np.float32)
+    keep = vmask.astype(bool)
+
+    interleaved = eval_step(state, img, mask, vmask)
+    subset = eval_step(state, img[keep], mask[keep], np.int32(4))
+    for k in subset:
+        np.testing.assert_allclose(float(interleaved[k]),
+                                   float(subset[k]), rtol=1e-5,
+                                   err_msg=k)
+    assert float(interleaved["n_valid"]) == 4.0
+
+
+def test_sharded_validation_metrics_match_replicated(rng, tmp_path):
+    """Simulated 2-host sharded validation (VERDICT r2 item 8): per-host
+    balanced valid shards, block-tail padding + [B] masks, sample-count
+    weighted averaging — the epoch metrics must equal the replicated
+    full-split walk, so the best-dice gate agrees by construction."""
+    import jax
+    from pylc_tpu.config import Config
+    from pylc_tpu.db.database import TileDB
+    from pylc_tpu.db.dataset import TileDataset
+    from pylc_tpu.train_state import init_state, make_eval_step
+    from pylc_tpu.models.registry import build_model
+
+    tile, n_proc, batch = 32, 2, 4
+    n = 10  # valid split: 5 rows/host (floor split, no tail)
+    imgs = rng.integers(0, 256, (n, 3, tile, tile)).astype(np.uint8)
+    masks = rng.integers(0, 9, (n, tile, tile)).astype(np.uint8)
+    path = str(tmp_path / "va.h5")
+    TileDB.save(path, imgs, masks, Config().replace(tile_size=tile, id="v"))
+
+    cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                           input_size=tile, output_size=16,
+                           unet_depth=2, unet_wf=2, dropout=0.0,
+                           batch_size=batch)
+    state, _ = init_state(cfg, jax.random.PRNGKey(0), 10)
+    eval_step = make_eval_step(cfg, build_model(cfg, train=False))
+
+    def weighted_avg(rows):  # [(metrics, weight)]
+        wsum = sum(w for _, w in rows)
+        keys = ("ce", "dice", "focal", "total")
+        return {k: sum(float(m[k]) * w for m, w in rows) / wsum
+                for k in keys}
+
+    # replicated walk (the single-host path): full split, tail padding
+    rep = []
+    ds = TileDataset(TileDB(path), batch_size=batch, shuffle=False,
+                     drop_last=False, chunk_size=100)
+    for img, mask in ds:
+        n_loc = len(img)
+        pad = batch - n_loc
+        img = np.concatenate([img, np.repeat(img[-1:], pad, 0)]) \
+            if pad else img
+        mask = np.concatenate([mask, np.zeros((pad, tile, tile),
+                                              np.uint8)]) if pad else mask
+        rep.append((eval_step(state, img.transpose(0, 2, 3, 1), mask,
+                              np.int32(n_loc)), float(n_loc)))
+
+    # sharded walk: each "host" feeds its block of the global batch
+    rows = batch // n_proc
+    host_ds = [TileDataset(TileDB(path), batch_size=rows, shuffle=False,
+                           drop_last=False, chunk_size=100,
+                           shard=(k, n_proc)) for k in range(n_proc)]
+    shd = []
+    for blocks in zip(*(iter(d) for d in host_ds)):
+        gi, gm, gv = [], [], []
+        for img, mask in blocks:
+            n_loc = len(img)
+            pad = rows - n_loc
+            if pad:
+                img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
+                mask = np.concatenate(
+                    [mask, np.zeros((pad, tile, tile), np.uint8)])
+            gi.append(img)
+            gm.append(mask)
+            gv.append((np.arange(rows) < n_loc).astype(np.float32))
+        m = eval_step(state, np.concatenate(gi).transpose(0, 2, 3, 1),
+                      np.concatenate(gm), np.concatenate(gv))
+        shd.append((m, float(sum(v.sum() for v in gv))))
+
+    ra, sa = weighted_avg(rep), weighted_avg(shd)
+    for k in ra:
+        np.testing.assert_allclose(sa[k], ra[k], rtol=1e-5, err_msg=k)

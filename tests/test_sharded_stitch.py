@@ -30,6 +30,8 @@ def mesh8():
     (9, 5, 32, 16),    # uneven: 9 rows over 8 devices (zero-weight pad)
     (13, 3, 32, 16),   # uneven, bigger remainder
     (6, 4, 32, 32),    # uneven, k=1
+    (30, 3, 32, 8),    # k=4, 0 < pad(=2) < k-1(=3): real canvas tail
+                       # straddles the padded body and the last spill
 ])
 def test_sharded_stitch_matches_single_device(mesh8, rng, n_rows, n_cols,
                                               tile, stride):
