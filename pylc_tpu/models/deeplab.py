@@ -14,7 +14,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pylc_tpu.models.aspp import ASPP
+from pylc_tpu.models.drn import DRN54
 from pylc_tpu.models.layers import resize_bilinear_align_corners
+from pylc_tpu.models.mobilenet import MobileNetV2
 from pylc_tpu.models.resnet import ResNet101
 from pylc_tpu.models.xception import AlignedXception
 
@@ -42,6 +44,9 @@ class DeepLabDecoder(nn.Module):
         x = self.norm(name="bn2")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.1, deterministic=not train)(x)
+        # plain 9-channel 1x1 head: measured best on v5e — both a
+        # 128-lane-padded MXU variant and a dot_general form lose to
+        # XLA's native schedule (docs/PERF_ROUND3.md, negative result)
         return nn.Conv(self.n_classes, (1, 1), name="head")(x)
 
 
@@ -59,17 +64,24 @@ class DeepLab(nn.Module):
         to 3 channels by the caller, reference models/model.py:310-311).
         Returns [B, H, W, n_classes] logits."""
         H, W = x.shape[-3], x.shape[-2]
+        os = self.output_stride
         if self.backbone == "resnet":
-            feat, ll = ResNet101(self.output_stride, self.norm,
-                                 dtype=self.dtype, remat=self.remat,
-                                 name="backbone")(x)
+            feat, ll = ResNet101(os, self.norm, dtype=self.dtype,
+                                 remat=self.remat, name="backbone")(x)
         elif self.backbone == "xception":
-            feat, ll = AlignedXception(self.output_stride, self.norm,
-                                       dtype=self.dtype, remat=self.remat,
-                                       name="backbone")(x)
+            feat, ll = AlignedXception(os, self.norm, dtype=self.dtype,
+                                       remat=self.remat, name="backbone")(x)
+        elif self.backbone == "mobilenet":
+            feat, ll = MobileNetV2(os, self.norm, dtype=self.dtype,
+                                   remat=self.remat, name="backbone")(x)
+        elif self.backbone == "drn":
+            # DRN is natively OS8 (upstream deeplab forces this too)
+            os = 8
+            feat, ll = DRN54(self.norm, dtype=self.dtype,
+                             remat=self.remat, name="backbone")(x)
         else:
             raise ValueError(f"Unknown backbone '{self.backbone}'")
-        y = ASPP(self.output_stride, norm=self.norm, dtype=self.dtype,
+        y = ASPP(os, norm=self.norm, dtype=self.dtype,
                  name="aspp")(feat, train=train)
         y = DeepLabDecoder(self.n_classes, self.norm, dtype=self.dtype,
                            name="decoder")(y, ll, train=train)

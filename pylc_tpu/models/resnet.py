@@ -71,6 +71,9 @@ class ResNet101(nn.Module):
             raise NotImplementedError(
                 f"output_stride {self.output_stride}")
 
+        # plain 7x7/s2 stem: a space-to-depth rewrite (MLPerf trick) was
+        # measured 2.8x SLOWER on v5e/XLA — the 6-D relayout costs more
+        # than the 3-channel conv (docs/PERF_ROUND3.md, negative result)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = self.norm(name="bn1")(x)

@@ -22,9 +22,20 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str):
-    """Capture a device trace into ``log_dir``."""
-    jax.profiler.start_trace(log_dir)
+def trace(log_dir: str, python_tracer: bool = False):
+    """Capture a device trace into ``log_dir``.
+
+    The Python host tracer is OFF by default: host-side frame events
+    flood the chrome-trace export's 1M-event cap long before the device
+    ops of interest are reached (a traced 20-step train run otherwise
+    captures only init-time modules), and the device timeline is what
+    bench analysis consumes."""
+    try:
+        opts = jax.profiler.ProfileOptions()
+        opts.python_tracer_level = 1 if python_tracer else 0
+        jax.profiler.start_trace(log_dir, profiler_options=opts)
+    except TypeError:  # older jax without profiler_options
+        jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
