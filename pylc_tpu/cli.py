@@ -76,7 +76,7 @@ def get_parser() -> argparse.ArgumentParser:
     tr.add_argument("--arch", type=str, default=None,
                     choices=("deeplab", "unet", "resunet"))
     tr.add_argument("--backbone", type=str, default=None,
-                    choices=("resnet", "xception"))
+                    choices=("resnet", "xception", "mobilenet", "drn"))
     tr.add_argument("--weighted", action="store_true",
                     help="Class-weighted CE loss.")
     tr.add_argument("--ce_weight", type=float, default=None)

@@ -243,7 +243,8 @@ class Config:
     optim_options: Tuple[str, ...] = ("adam", "sgd")
     sched_options: Tuple[str, ...] = ("step_lr", "cyclic_lr", "anneal")
     arch_options: Tuple[str, ...] = ("deeplab", "unet", "resunet")
-    backbone_options: Tuple[str, ...] = ("resnet", "xception")
+    backbone_options: Tuple[str, ...] = ("resnet", "xception",
+                                         "mobilenet", "drn")
     norm_options: Tuple[str, ...] = ("batch", "instance", "layer", "syncbatch")
     activ_options: Tuple[str, ...] = ("relu", "lrelu", "selu", "gelu")
     up_mode_options: Tuple[str, ...] = ("upconv", "upsample")

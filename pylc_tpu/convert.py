@@ -478,7 +478,12 @@ def export_deeplab_pth(state, cfg, out_path: str,
     elif backbone == "xception":
         _export_xception_backbone(sd, bp, bs, put_conv, put_bn)
     else:
-        raise ValueError(f"unknown backbone '{backbone}'")
+        # mobilenet/drn: the reference cannot construct these models
+        # (models/architectures/deeplab.py:23-26 wires only resnet and
+        # xception), so there is no reference .pth schema to target.
+        raise ValueError(
+            f"no reference .pth schema exists for backbone '{backbone}' "
+            "(the reference only builds resnet/xception DeepLab models)")
 
     ap, as_ = params["aspp"], stats["aspp"]
     for i in (1, 2, 3, 4):

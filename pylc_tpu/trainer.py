@@ -119,6 +119,13 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
             "resnet": "./data/models/resnet101-5d3b4d8f.pth",
             "xception": "./data/models/xception-b5690688.pth",
         }
+        if cfg.backbone not in default_paths:
+            # mobilenet/drn: no published ImageNet .pth mapping exists
+            # (the reference zoo URLs are for resnet/xception only)
+            raise ValueError(
+                f"--pretrained is not supported for backbone "
+                f"'{cfg.backbone}' (no ImageNet checkpoint mapping); "
+                "train from scratch instead.")
         path = cfg.pretrained if isinstance(cfg.pretrained, str) else \
             default_paths[cfg.backbone]
         if path == default_paths["resnet"] and cfg.backbone != "resnet":

@@ -159,3 +159,66 @@ def test_resunet_respects_norm_type(rng):
     mask = rng.integers(0, 9, (2, 32, 32)).astype(np.uint8)
     state, m = step(state, img, mask, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["total"]))
+
+
+def test_mobilenet_tiny_forward(rng):
+    """MobileNetV2 backbone: OS16 stride/dilation plan, 320-ch output,
+    24-ch low-level tap after features[0:4] (ref mobilenet.py:122-124)."""
+    from pylc_tpu.models.mobilenet import MobileNetV2
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    model = MobileNetV2(output_stride=16, norm=_norm(False))
+    v = model.init(jax.random.PRNGKey(0), x)
+    feat, ll = model.apply(v, x)
+    assert feat.shape == (1, 4, 4, 320)
+    assert ll.shape == (1, 16, 16, 24)
+
+
+def test_mobilenet_os8_forward(rng):
+    from pylc_tpu.models.mobilenet import MobileNetV2
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    model = MobileNetV2(output_stride=8, norm=_norm(False))
+    v = model.init(jax.random.PRNGKey(0), x)
+    feat, ll = model.apply(v, x)
+    assert feat.shape == (1, 8, 8, 320)
+    assert ll.shape == (1, 16, 16, 24)
+
+
+def test_drn_tiny_forward(rng):
+    """DRN-D-54: natively OS8, 512-ch output after the de-gridding
+    tail, 256-ch low-level tap after layer3 (ref drn.py:227-229)."""
+    from pylc_tpu.models.drn import DRN54
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    model = DRN54(norm=_norm(False))
+    v = model.init(jax.random.PRNGKey(0), x)
+    feat, ll = model.apply(v, x)
+    assert feat.shape == (1, 8, 8, 512)
+    assert ll.shape == (1, 16, 16, 256)
+
+
+@pytest.mark.parametrize("backbone", ["mobilenet", "drn"])
+def test_deeplab_new_backbones_forward_and_grad(rng, backbone):
+    """DeepLab with the round-3 backbones: full forward to input
+    resolution plus one grad step (train-path sanity)."""
+    from pylc_tpu.models.deeplab import DeepLab
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    model = DeepLab(n_classes=5, backbone=backbone, norm=_norm(True))
+    v = model.init(jax.random.PRNGKey(0), x, train=True)
+    y, _ = model.apply(v, x, train=True, mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y.shape == (1, 64, 64, 5)
+    assert y.dtype == jnp.float32
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss_fn)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
