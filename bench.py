@@ -139,7 +139,8 @@ def bench_train(steps=20, batch=8):
     import jax
     import numpy as np
     from pylc_tpu.config import Config
-    from pylc_tpu.train_state import init_state, make_train_step
+    from pylc_tpu.train_state import (init_state, make_step_key,
+                                      make_train_step)
 
     cfg = Config().replace(arch="deeplab", backbone="resnet", ch=3,
                            batch_size=batch)
@@ -153,7 +154,7 @@ def bench_train(steps=20, batch=8):
     # the timed loop would measure the ~30 MB/s tunnel, not the chip)
     img = jax.device_put(img)
     mask = jax.device_put(mask)
-    key = jax.random.PRNGKey(0)
+    key = make_step_key(0, cfg.rng_impl)
     state, m = step(state, img, mask, key)  # compile
     _fetch(m["total"])
     t0 = time.perf_counter()

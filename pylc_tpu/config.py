@@ -233,6 +233,13 @@ class Config:
     crf_w_smooth: float = 1.0   # smoothness (Gaussian) kernel weight
     crf_sigma_smooth: float = 1.5
 
+    # per-step RNG implementation (dropout/flip draws). 'rbg' lowers to
+    # the TPU-native XLA RngBitGenerator: measured 45.0 vs 48.4 ms/step
+    # device on v5e — the default threefry2x32 custom-calls pollute the
+    # conv fusion schedule (docs/PERF_ROUND3.md). Parameter *init* stays
+    # threefry so existing checkpoints/tests reproduce exactly.
+    rng_impl: str = "rbg"  # 'rbg' | 'threefry2x32'
+
     remat_backbone: bool = False  # rematerialize backbone blocks in training
     # (measured on v5e: block-level remat halves step speed without
     #  lifting the batch-32 HBM ceiling — inter-block activations

@@ -33,7 +33,8 @@ from pylc_tpu.db.database import TileDB
 from pylc_tpu.db.dataset import TileDataset
 from pylc_tpu.parallel.mesh import batch_sharding, get_mesh
 from pylc_tpu.train_state import (
-    init_state, make_eval_step, make_lr_schedule, make_train_step,
+    init_state, make_eval_step, make_lr_schedule, make_step_key,
+    make_train_step,
 )
 from pylc_tpu.models.registry import build_model
 
@@ -246,7 +247,7 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
             print(loss.status("valid"))
 
     t_start = time.time()
-    step_rng = jax.random.PRNGKey(1234)
+    step_rng = make_step_key(1234, cfg.rng_impl)
     for epoch in range(epoch0, cfg.n_epochs):
         if verbose:
             lr_now = float(lr_sched(state.step))

@@ -222,3 +222,28 @@ def test_deeplab_new_backbones_forward_and_grad(rng, backbone):
     g = jax.grad(loss_fn)(v["params"])
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_train_step_with_rbg_step_key(rng):
+    """The production per-step key is 'rbg' (TPU RngBitGenerator,
+    docs/PERF_ROUND3.md): a typed rbg key must flow through
+    split/bernoulli/dropout inside the jitted step, and both impls
+    must produce finite losses."""
+    import jax
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import (init_state, make_step_key,
+                                      make_train_step)
+
+    cfg = Config().replace(arch="unet", ch=3, tile_size=32, input_size=32,
+                           output_size=16, unet_depth=2, unet_wf=2,
+                           batch_size=2)
+    state, model = init_state(cfg, jax.random.PRNGKey(0), 10)
+    step = make_train_step(cfg, model)
+    img = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    mask = rng.integers(0, 9, (2, 32, 32)).astype(np.uint8)
+    for impl in ("rbg", "threefry2x32"):
+        key = make_step_key(7, impl)
+        key, sub = jax.random.split(key)
+        # the step donates state — thread it instead of reusing
+        state, m = step(state, img, mask, sub)
+        assert np.isfinite(float(m["total"])), impl
