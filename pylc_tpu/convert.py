@@ -192,6 +192,75 @@ def convert_xception_backbone(sd: Dict, prefix: str = "",
     return p, s
 
 
+def convert_mobilenet_backbone(sd: Dict, prefix: str = ""
+                               ) -> Tuple[Dict, Dict]:
+    """Reference MobileNetV2 state_dict (models/backbone/mobilenet.py
+    naming: ``features.<i>.conv.<j>``) -> pylc_tpu MobileNetV2 subtrees.
+
+    features[0] is the stem conv_bn; block i>=1 layouts differ by
+    expand ratio — expand==1 (block 1 only): [dw conv, bn, relu6,
+    pw conv, bn]; else: [pw, bn, relu6, dw, bn, relu6, pw, bn]
+    (reference mobilenet.py:43-66)."""
+    p: Dict = {}
+    s: Dict = {}
+    _put_conv(p, ("stem_conv",), sd, prefix + "features.0.0")
+    _put_bn(p, s, ("stem_bn",), sd, prefix + "features.0.1")
+    pat = re.compile(re.escape(prefix) + r"features\.(\d+)\.conv\.")
+    blocks = sorted({int(m.group(1))
+                     for k in sd for m in [pat.match(k)] if m})
+    for i in blocks:
+        tp = f"{prefix}features.{i}.conv."
+        fp = f"block{i}"
+        if tp + "6.weight" in sd:  # expanded block
+            _put_conv(p, (fp, "expand_conv"), sd, tp + "0")
+            _put_bn(p, s, (fp, "expand_bn"), sd, tp + "1")
+            _put_conv(p, (fp, "dw_conv"), sd, tp + "3", depthwise=True)
+            _put_bn(p, s, (fp, "dw_bn"), sd, tp + "4")
+            _put_conv(p, (fp, "project_conv"), sd, tp + "6")
+            _put_bn(p, s, (fp, "project_bn"), sd, tp + "7")
+        else:  # expand==1: no pointwise-expand stage
+            _put_conv(p, (fp, "dw_conv"), sd, tp + "0", depthwise=True)
+            _put_bn(p, s, (fp, "dw_bn"), sd, tp + "1")
+            _put_conv(p, (fp, "project_conv"), sd, tp + "3")
+            _put_bn(p, s, (fp, "project_bn"), sd, tp + "4")
+    return p, s
+
+
+def convert_drn_backbone(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
+    """Reference DRN-D-54 state_dict (models/backbone/drn.py arch-D
+    naming) -> pylc_tpu DRN54 subtrees.
+
+    layer0 is conv_bn ('layer0.0'/'layer0.1'); layer1/2/7/8 are plain
+    conv stages ('layerN.<3j>' conv / '<3j+1>' bn per conv-bn-relu
+    triple); layer3..6 are bottleneck stages with the ResNet key
+    shape ('layerN.<i>.convK/bnK' + 'downsample.0/1')."""
+    p: Dict = {}
+    s: Dict = {}
+    _put_conv(p, ("layer0_conv",), sd, prefix + "layer0.0")
+    _put_bn(p, s, ("layer0_bn",), sd, prefix + "layer0.1")
+    for L in (1, 2, 7, 8):
+        j = 0
+        while f"{prefix}layer{L}.{3 * j}.weight" in sd:
+            _put_conv(p, (f"layer{L}", f"conv{j}"), sd,
+                      f"{prefix}layer{L}.{3 * j}")
+            _put_bn(p, s, (f"layer{L}", f"bn{j}"), sd,
+                    f"{prefix}layer{L}.{3 * j + 1}")
+            j += 1
+    pat = re.compile(re.escape(prefix) + r"layer([3-6])\.(\d+)\.")
+    blocks = sorted({(int(m.group(1)), int(m.group(2)))
+                     for k in sd for m in [pat.match(k)] if m})
+    for L, i in blocks:
+        tp = f"{prefix}layer{L}.{i}."
+        fp = f"layer{L}_{i}"
+        for k in (1, 2, 3):
+            _put_conv(p, (fp, f"conv{k}"), sd, tp + f"conv{k}")
+            _put_bn(p, s, (fp, f"bn{k}"), sd, tp + f"bn{k}")
+        if tp + "downsample.0.weight" in sd:
+            _put_conv(p, (fp, "downsample_conv"), sd, tp + "downsample.0")
+            _put_bn(p, s, (fp, "downsample_bn"), sd, tp + "downsample.1")
+    return p, s
+
+
 def convert_deeplab_state_dict(sd: Dict, backbone: str = "resnet"
                                ) -> Tuple[Dict, Dict]:
     """Full reference DeepLab state_dict -> (params, batch_stats) trees
@@ -375,6 +444,43 @@ def load_xception_imagenet(pth_path: str, state, verbose: bool = False):
             "zoo xception state_dict?")
     if verbose:
         print(f"  xception pretrained: {n_p} param + {n_s} stat leaves")
+    return _graft_subtree(state, ("backbone",), params, stats)
+
+
+def load_mobilenet_imagenet(pth_path: str, state):
+    """Overlay ImageNet MobileNetV2 weights onto a DeepLab state's
+    backbone.
+
+    The reference loads ``mobilenet_v2-6a65762b.pth`` key-filtered into
+    its backbone (models/backbone/mobilenet.py:130-138); that checkpoint
+    uses the same ``features.<i>.conv.<j>`` naming the converter scans,
+    and any ``classifier.*`` head keys fall outside the scan."""
+    data = load_reference_pth(pth_path)
+    sd = data.get("state_dict", data) if isinstance(data, dict) else {}
+    try:
+        params, stats = convert_mobilenet_backbone(sd)
+    except KeyError as e:
+        raise ValueError(
+            f"{pth_path}: missing key {e} — not a MobileNetV2 "
+            "state_dict?") from None
+    return _graft_subtree(state, ("backbone",), params, stats)
+
+
+def load_drn_imagenet(pth_path: str, state):
+    """Overlay ImageNet DRN-D-54 weights onto a DeepLab state's
+    backbone.
+
+    The reference loads ``drn_d_54-*.pth`` with the ``fc.*`` head keys
+    deleted (models/backbone/drn.py:355-361); the converter's
+    ``layer*`` scan ignores them anyway."""
+    data = load_reference_pth(pth_path)
+    sd = data.get("state_dict", data) if isinstance(data, dict) else {}
+    try:
+        params, stats = convert_drn_backbone(sd)
+    except KeyError as e:
+        raise ValueError(
+            f"{pth_path}: missing key {e} — not a DRN-D state_dict?"
+        ) from None
     return _graft_subtree(state, ("backbone",), params, stats)
 
 

@@ -13,12 +13,12 @@ Returns (x [B, H/os, W/os, 320], low_level_feat [B, H/4, W/4, 24]) —
 the channel plan the reference ASPP/decoder keep branches for
 (models/modules/aspp.py:47, models/decoder.py:22).
 
-Deviation (documented in docs/DEVIATIONS.md): the reference pads the
-*block input* before the pointwise conv (fixed_padding at
-mobilenet.py:23-29), so train-mode BN statistics include the pad zeros;
-here only the depthwise conv is padded (standard MobileNetV2) — the
-maps are spatially identical, BN batch stats differ immaterially, and
-no pretrained-interchange contract exists for this backbone.
+Padding semantics are reference-faithful: the *block input* is
+zero-padded before the expand conv (``fixed_padding``, reference
+mobilenet.py:23-29) and the depthwise conv runs VALID — so eval logits
+match a torch reference block bit-for-bit (boundary pixels see
+BN(0)-transformed pad values, not zeros) and torch checkpoints convert
+exactly (`convert.convert_mobilenet_backbone`, golden-tested).
 """
 
 from __future__ import annotations
@@ -54,19 +54,22 @@ class InvertedResidual(nn.Module):
     def __call__(self, x):
         inp = x.shape[-1]
         hidden = round(inp * self.expand)
-        y = x
+        d = self.dilation
+        # reference fixed_padding (mobilenet.py:23-29,70): the WHOLE
+        # block input is padded, so the expand conv/BN also see the pad
+        # ring and the depthwise conv runs VALID — required for exact
+        # torch-checkpoint parity (boundary pixels differ otherwise)
+        pad = 2 * d  # (k-1) + (k-1)(d-1) for k=3
+        pb, pe = pad // 2, pad - pad // 2
+        y = jnp.pad(x, ((0, 0), (pb, pe), (pb, pe), (0, 0)))
         if self.expand != 1:
             y = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand_conv")(y)
             y = self.norm(name="expand_bn")(y)
             y = jax.nn.relu6(y)
-        d = self.dilation
-        # depthwise: feature_group_count == channels; SAME-style explicit
-        # pad (k-1)*d split floor/ceil like the reference fixed_padding
-        pad = 2 * d  # (3-1)*d total
         y = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(pad // 2, pad - pad // 2)] * 2,
-                    kernel_dilation=(d, d), feature_group_count=hidden,
+                    padding="VALID", kernel_dilation=(d, d),
+                    feature_group_count=hidden,
                     use_bias=False, dtype=self.dtype, name="dw_conv")(y)
         y = self.norm(name="dw_bn")(y)
         y = jax.nn.relu6(y)

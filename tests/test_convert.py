@@ -301,3 +301,65 @@ def test_xception_imagenet_rejects_garbage(tmp_path):
     torch.save({"not_a_weight": torch.zeros(3)}, pth)
     with pytest.raises(ValueError, match="no xception backbone"):
         load_xception_imagenet(pth, state)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backbone", ["mobilenet", "drn"])
+def test_backbone_imagenet_loader(backbone):
+    """load_{mobilenet,drn}_imagenet graft a zoo-format backbone
+    state_dict (reference mobilenet.py:130-138 / drn.py:355-361) onto a
+    DeepLab state; head keys (classifier/fc) are ignored, non-backbone
+    subtrees untouched.  Uses the reference-generated backbone goldens
+    as the zoo stand-in (same module, same naming)."""
+    import os
+    from pylc_tpu.config import Config
+    from pylc_tpu.convert import (
+        convert_drn_backbone, convert_mobilenet_backbone,
+        load_drn_imagenet, load_mobilenet_imagenet, _unfreeze)
+    from pylc_tpu.train_state import init_state
+
+    pth = os.path.join(os.path.dirname(__file__), "golden",
+                       f"ref_backbone_{backbone}.pth")
+    if not os.path.exists(pth):
+        if os.path.isdir("/root/reference"):
+            import scripts.gen_backbone_goldens as gg
+            gg.main()
+        else:
+            pytest.skip("backbone goldens not generated")
+
+    cfg = Config().replace(arch="deeplab", backbone=backbone, ch=3,
+                           tile_size=64, compute_dtype="float32")
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    before = _unfreeze(jax.device_get(state.params))
+
+    loader = (load_mobilenet_imagenet if backbone == "mobilenet"
+              else load_drn_imagenet)
+    conv = (convert_mobilenet_backbone if backbone == "mobilenet"
+            else convert_drn_backbone)
+    new_state = loader(pth, state)
+    got = _unfreeze(jax.device_get(new_state.params))
+    want, want_stats = conv(load_reference_pth(pth))
+
+    first = "stem_conv" if backbone == "mobilenet" else "layer0_conv"
+    np.testing.assert_allclose(got["backbone"][first]["kernel"],
+                               want[first]["kernel"], atol=1e-6)
+    got_stats = _unfreeze(jax.device_get(new_state.batch_stats))
+    first_bn = "stem_bn" if backbone == "mobilenet" else "layer0_bn"
+    np.testing.assert_allclose(got_stats["backbone"][first_bn]["mean"],
+                               want_stats[first_bn]["mean"], atol=1e-6)
+    # aspp untouched
+    np.testing.assert_allclose(got["aspp"]["proj"]["kernel"],
+                               before["aspp"]["proj"]["kernel"], atol=1e-6)
+
+
+@pytest.mark.parametrize("backbone", ["mobilenet", "drn"])
+def test_backbone_imagenet_rejects_garbage(backbone, tmp_path):
+    """A non-matching file must fail loudly, not train from scratch."""
+    from pylc_tpu.convert import load_drn_imagenet, load_mobilenet_imagenet
+
+    loader = (load_mobilenet_imagenet if backbone == "mobilenet"
+              else load_drn_imagenet)
+    pth = str(tmp_path / "junk.pth")
+    torch.save({"not_a_weight": torch.zeros(3)}, pth)
+    with pytest.raises(ValueError, match="missing key"):
+        loader(pth, object())  # must raise before touching the state

@@ -162,3 +162,65 @@ def test_converted_deeplab_matches_reference_logits(backbone):
     # ties.  The allclose above is the primary criterion.
     agree = np.mean(got.argmax(-1) == want.argmax(-1))
     assert agree >= 0.999, f"argmax agreement {agree}"
+
+
+def _backbone_golden(which):
+    pth = os.path.join(os.path.dirname(__file__), "golden",
+                       f"ref_backbone_{which}.pth")
+    io = os.path.join(os.path.dirname(__file__), "golden",
+                      f"ref_backbone_{which}_io.npz")
+    if not (os.path.exists(pth) and os.path.exists(io)):
+        if os.path.isdir("/root/reference"):
+            import scripts.gen_backbone_goldens as gg
+            gg.main()
+        else:
+            pytest.skip("backbone goldens not generated")
+    return pth, io
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("which", ["mobilenet", "drn"])
+def test_converted_backbone_matches_reference_features(which):
+    """Round-3 backbones vs the EXECUTING reference backbone modules.
+
+    The reference DeepLab cannot construct mobilenet/drn (deeplab.py:
+    23-26), so these goldens drive the reference's backbone nn.Modules
+    directly (scripts/gen_backbone_goldens.py): random params +
+    randomized BN running stats, eval forward.  The converted flax
+    backbone must reproduce (feat, low_level) — this pins every block's
+    padding/stride/dilation plan, incl. MobileNetV2's whole-block
+    fixed_padding, to the reference."""
+    import jax.numpy as jnp
+    from functools import partial
+    from flax import linen as nn
+    from pylc_tpu.convert import (convert_drn_backbone,
+                                  convert_mobilenet_backbone,
+                                  load_reference_pth)
+
+    pth, io = _backbone_golden(which)
+    sd = load_reference_pth(pth)
+    if which == "mobilenet":
+        from pylc_tpu.models.mobilenet import MobileNetV2
+        params, stats = convert_mobilenet_backbone(sd)
+        norm = partial(nn.BatchNorm, use_running_average=True,
+                       momentum=0.9, epsilon=1e-5)
+        model = MobileNetV2(output_stride=16, norm=norm)
+    else:
+        from pylc_tpu.models.drn import DRN54
+        params, stats = convert_drn_backbone(sd)
+        norm = partial(nn.BatchNorm, use_running_average=True,
+                       momentum=0.9, epsilon=1e-5)
+        model = DRN54(norm=norm)
+
+    golden = np.load(io)
+    x = np.transpose(golden["x"], (0, 2, 3, 1))  # NCHW -> NHWC
+    feat, ll = model.apply({"params": params, "batch_stats": stats},
+                           jnp.asarray(x))
+    for got, want_nchw in ((feat, golden["feat"]),
+                           (ll, golden["low_level"])):
+        want = np.transpose(want_nchw, (0, 2, 3, 1))
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=1e-3,
+                                   atol=max(5e-4, 1e-5 * scale))
