@@ -140,6 +140,9 @@ def get_parser() -> argparse.ArgumentParser:
                     help="Smoothness (Gaussian) kernel weight.")
     te.add_argument("--crf_sigma_smooth", type=float, default=None,
                     help="Smoothness spatial sigma (grid px).")
+    te.add_argument("--n_devices", type=int, default=None,
+                    help="Restrict the inference mesh size (default: "
+                         "all visible chips; 1 = single-chip).")
     te.set_defaults(func=run_test)
 
     return p
@@ -238,7 +241,8 @@ def run_test(args):
     test(cfg, args.model, args.img, mask_path=args.mask, scale=args.scale,
          save_logits=args.save_logits,
          aggregate_metrics=args.aggregate_metrics,
-         use_crf=getattr(args, "crf", False))
+         use_crf=getattr(args, "crf", False),
+         n_devices=getattr(args, "n_devices", None))
 
 
 def print_profile(meta: Config):

@@ -50,8 +50,15 @@ def load_model(model_path: str, base_cfg: Optional[Config] = None):
 def test(cfg: Config, model_path: str, img_path: str,
          mask_path: Optional[str] = None, scale: Optional[float] = None,
          save_logits: bool = False, aggregate_metrics: bool = False,
-         use_crf: bool = False, verbose: bool = True) -> List[dict]:
-    """Run the full test pipeline over one or more images."""
+         use_crf: bool = False, verbose: bool = True,
+         n_devices: Optional[int] = None) -> List[dict]:
+    """Run the full test pipeline over one or more images.
+
+    On a multi-chip host (e.g. a v5e-8) the tile batch and the stitched
+    canvas are sharded over a 'data' mesh of all visible chips — the
+    north-star benchmark surface (reference test.py:23-115 is
+    single-GPU).  ``n_devices`` restricts the mesh (1 = force
+    single-chip)."""
     cfg, state, predict = load_model(model_path, cfg)
     cfg.id = cfg.id or cfg.gen_model_id()
 
@@ -60,7 +67,17 @@ def test(cfg: Config, model_path: str, img_path: str,
         from pylc_tpu.ops.crf import make_crf
         crf = make_crf(cfg)
 
-    seg = Segmenter(cfg, state, predict, batch_size=16, crf=crf)
+    mesh = None
+    n_mesh = n_devices if n_devices is not None else jax.device_count()
+    if n_mesh > 1:
+        from pylc_tpu.parallel.mesh import get_mesh
+        mesh = get_mesh(n_mesh)
+        if verbose:
+            print(f"Inference mesh: {n_mesh} devices (sharded tile "
+                  "batch + canvas stitch)")
+
+    seg = Segmenter(cfg, state, predict, batch_size=16, crf=crf,
+                    mesh=mesh)
     evaluator = Evaluator(cfg, keep_aggregate=aggregate_metrics)
     files = collate(img_path, mask_path)
     results = []

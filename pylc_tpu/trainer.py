@@ -119,14 +119,10 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         default_paths = {
             "resnet": "./data/models/resnet101-5d3b4d8f.pth",
             "xception": "./data/models/xception-b5690688.pth",
+            # zoo names from reference mobilenet.py:131 / drn.py:22
+            "mobilenet": "./data/models/mobilenet_v2-6a65762b.pth",
+            "drn": "./data/models/drn_d_54-0e0534ff.pth",
         }
-        if cfg.backbone not in default_paths:
-            # mobilenet/drn: no published ImageNet .pth mapping exists
-            # (the reference zoo URLs are for resnet/xception only)
-            raise ValueError(
-                f"--pretrained is not supported for backbone "
-                f"'{cfg.backbone}' (no ImageNet checkpoint mapping); "
-                "train from scratch instead.")
         path = cfg.pretrained if isinstance(cfg.pretrained, str) else \
             default_paths[cfg.backbone]
         if path == default_paths["resnet"] and cfg.backbone != "resnet":
@@ -151,10 +147,11 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     state, model = init_state(cfg, rng, steps_per_epoch)
 
     if pretrained_path:
-        from pylc_tpu.convert import (
-            load_resnet101_imagenet, load_xception_imagenet)
-        loader = load_resnet101_imagenet if cfg.backbone == "resnet" \
-            else load_xception_imagenet
+        from pylc_tpu import convert
+        loader = {"resnet": convert.load_resnet101_imagenet,
+                  "xception": convert.load_xception_imagenet,
+                  "mobilenet": convert.load_mobilenet_imagenet,
+                  "drn": convert.load_drn_imagenet}[cfg.backbone]
         state = loader(pretrained_path, state)
         if verbose:
             print(f"Loaded pretrained encoder from {pretrained_path}")

@@ -107,7 +107,23 @@ def test_train_and_infer_e2e(extracted_db, tiny_cfg, tmp_path):
         assert 0.0 <= r["metrics"]["f1"] <= 1.0
     # mask artifact written
     masks_dir = os.path.join(cfg.output_dir, cfg.gen_model_id(), "masks")
-    assert len(os.listdir(masks_dir)) == 4
+    masks = sorted(os.listdir(masks_dir))
+    assert len(masks) == 4
+
+    # production-path mesh parity: the run above used the default mesh
+    # (8 virtual devices, conftest) — a forced single-chip run must
+    # produce byte-identical mask PNGs (tester.py n_devices)
+    import cv2
+    mesh_mask = cv2.imread(os.path.join(masks_dir, masks[0]))
+    cfg1 = cfg.replace(output_dir=str(tmp_path / "out_1dev"))
+    run_test(cfg1, model_file,
+             img_path=os.path.join(os.path.dirname(path), "..", "images"),
+             mask_path=os.path.join(os.path.dirname(path), "..", "masks"),
+             scale=1.0, verbose=False, n_devices=1)
+    one_dir = os.path.join(cfg1.output_dir, cfg1.gen_model_id(), "masks")
+    one_mask = cv2.imread(os.path.join(one_dir, masks[0]))
+    assert np.array_equal(mesh_mask, one_mask), \
+        "mesh vs single-device tester masks differ"
 
 
 def test_checkpoint_resume_runs_full_epochs(extracted_db, tiny_cfg,
