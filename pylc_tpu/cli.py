@@ -100,6 +100,10 @@ def get_parser() -> argparse.ArgumentParser:
     tr.add_argument("--report", type=int, default=None)
     tr.add_argument("--resume", action="store_true")
     tr.add_argument("--clip", type=float, default=None)
+    tr.add_argument("--head_lr_mult", type=float, default=None,
+                    help="LR multiplier for the ASPP+decoder head vs "
+                         "the backbone (the reference's unwired "
+                         "get_1x/get_10x_lr_params split; try 10).")
     tr.add_argument("--n_devices", type=int, default=None,
                     help="Restrict the device mesh size.")
     tr.add_argument("--multihost", action="store_true",

@@ -194,6 +194,11 @@ class Config:
     fl_alpha: float = 0.25
     fl_reduction: str = "mean"
     grad_clip: float = 0.5
+    # LR multiplier for the non-backbone ('head': ASPP+decoder) params.
+    # The reference defines get_1x_lr_params/get_10x_lr_params for this
+    # split (models/architectures/deeplab.py:57-79) but never wires
+    # them into its optimizer; here 10.0 enacts that intent (1.0 = off).
+    head_lr_mult: float = 1.0
     optim_type: str = "adam"
     sched_type: str = "step_lr"
     arch: str = "deeplab"

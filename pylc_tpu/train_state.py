@@ -72,12 +72,28 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int):
 def make_optimizer(cfg: Config, steps_per_epoch: int
                    ) -> optax.GradientTransformation:
     sched = make_lr_schedule(cfg, steps_per_epoch)
-    if cfg.optim_type == "adam":
-        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
-    elif cfg.optim_type == "sgd":
-        opt = optax.sgd(sched, momentum=cfg.momentum)
-    else:
+
+    def base(mult: float) -> optax.GradientTransformation:
+        s = sched if mult == 1.0 else (lambda step: sched(step) * mult)
+        if cfg.optim_type == "adam":
+            return optax.adamw(s, weight_decay=cfg.weight_decay)
+        if cfg.optim_type == "sgd":
+            return optax.sgd(s, momentum=cfg.momentum)
         raise ValueError(f"Optimizer '{cfg.optim_type}' is not defined.")
+
+    if cfg.head_lr_mult != 1.0:
+        # backbone at lr, everything else (ASPP+decoder head) at
+        # lr * head_lr_mult — the reference's get_1x/get_10x_lr_params
+        # split (deeplab.py:57-79), which its Model never uses.  For
+        # archs without a 'backbone' subtree (unet/res_unet) every
+        # param is 'head', i.e. the multiplier scales the whole net.
+        opt = optax.multi_transform(
+            {"backbone": base(1.0), "head": base(cfg.head_lr_mult)},
+            param_labels=lambda params: {
+                k: ("backbone" if k == "backbone" else "head")
+                for k in params})
+    else:
+        opt = base(1.0)
     # in-place gradient norm clip at 0.5 (reference models/model.py:326)
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
 

@@ -247,3 +247,61 @@ def test_train_step_with_rbg_step_key(rng):
         # the step donates state — thread it instead of reusing
         state, m = step(state, img, mask, sub)
         assert np.isfinite(float(m["total"])), impl
+
+
+def test_head_lr_mult_differential_updates(rng):
+    """cfg.head_lr_mult trains the ASPP+decoder head at mult x the
+    backbone LR — the reference's get_1x/get_10x_lr_params split
+    (models/architectures/deeplab.py:57-79) that its Model never wires
+    into the optimizer.  With plain SGD the first update is
+    -lr * clipped_grad, so vs a mult=1 run the backbone update must be
+    identical and the head update exactly mult x."""
+    import jax
+    from pylc_tpu.config import Config
+    from pylc_tpu.train_state import init_state, make_train_step
+
+    # lr large enough that one SGD update is far above f32 resolution
+    # of the ~0.1-magnitude params (at the 1e-4 default the deltas sit
+    # at the rounding floor and the 10x ratio is unobservable)
+    base = Config().replace(arch="deeplab", backbone="mobilenet", ch=3,
+                            tile_size=32, input_size=32, output_size=32,
+                            batch_size=2, optim_type="sgd", momentum=0.0,
+                            sched_type="anneal", dropout=0.0, lr=0.05,
+                            compute_dtype="float32")
+    img = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    mask = rng.integers(0, 9, (2, 32, 32)).astype(np.uint8)
+
+    def one_step(mult):
+        cfg = base.replace(head_lr_mult=mult)
+        state, model = init_state(cfg, jax.random.PRNGKey(0), 10)
+        p0 = jax.device_get(state.params)
+        step = make_train_step(cfg, model)
+        state, _ = step(state, img, mask, jax.random.PRNGKey(1))
+        return p0, jax.device_get(state.params)
+
+    p0a, p1a = one_step(1.0)
+    p0b, p1b = one_step(10.0)
+
+    def leaf(tree, *path):
+        for p in path:
+            tree = tree[p]
+        return np.asarray(tree)
+
+    # same init either way
+    np.testing.assert_array_equal(leaf(p0a, "backbone", "stem_conv",
+                                       "kernel"),
+                                  leaf(p0b, "backbone", "stem_conv",
+                                       "kernel"))
+    d_bb_a = leaf(p1a, "backbone", "stem_conv", "kernel") - \
+        leaf(p0a, "backbone", "stem_conv", "kernel")
+    d_bb_b = leaf(p1b, "backbone", "stem_conv", "kernel") - \
+        leaf(p0b, "backbone", "stem_conv", "kernel")
+    np.testing.assert_allclose(d_bb_b, d_bb_a, rtol=5e-3, atol=1e-7)
+
+    d_hd_a = leaf(p1a, "decoder", "head", "kernel") - \
+        leaf(p0a, "decoder", "head", "kernel")
+    d_hd_b = leaf(p1b, "decoder", "head", "kernel") - \
+        leaf(p0b, "decoder", "head", "kernel")
+    assert np.abs(d_hd_a).max() > 0
+    np.testing.assert_allclose(d_hd_b, 10.0 * d_hd_a, rtol=5e-3,
+                               atol=1e-7)
