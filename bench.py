@@ -66,9 +66,8 @@ def synthetic_photo(cfg, mp_w=3872, mp_h=2592, seed=0):
 
 
 def _median(xs):
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    import statistics
+    return statistics.median(xs)
 
 
 def bench_infer(use_crf=False, repeats=6):

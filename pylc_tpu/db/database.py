@@ -94,18 +94,30 @@ class TileDB:
             f["mask"].read_direct(masks, np.s_[start:end])
         return imgs, masks
 
-    def shard_range(self, shard: Tuple[int, int]) -> Tuple[int, int]:
+    def shard_range(self, shard: Tuple[int, int],
+                    drop_tail: bool = True) -> Tuple[int, int]:
         """(lo, hi) rows of this partition owned by shard (k, n).
 
-        BALANCED floor split — every shard gets exactly
-        ``partition_size // n`` rows (the tail remainder is dropped for
-        the epoch).  Equal per-shard sizes are load-bearing for
-        multi-host SPMD training: a ceil split (the reference's
-        per-worker range math, db/database.py:129-149) hands hosts
-        different batch counts after drop_last and the uneven host
-        exits mid-epoch while the others block in a collective.
+        drop_tail=True (default): BALANCED floor split — every shard
+        gets exactly ``partition_size // n`` rows (the tail remainder
+        is dropped for the epoch).  Equal per-shard sizes are
+        load-bearing for multi-host SPMD training: a ceil split (the
+        reference's per-worker range math, db/database.py:129-149)
+        hands hosts different batch counts after drop_last and the
+        uneven host exits mid-epoch while the others block in a
+        collective.
+
+        drop_tail=False: the remainder is distributed one row each to
+        the first shards (sizes differ by at most 1, no row dropped) —
+        for validation, where the eval loop pads short batches instead
+        of requiring equal sizes and the best-dice gate must see every
+        sample.
         """
         k, n = shard
+        if n > 1 and not drop_tail:
+            per, tail = divmod(self.partition_size, n)
+            lo = self.start + k * per + min(k, tail)
+            return lo, min(lo + per + (1 if k < tail else 0), self.end)
         per = self.partition_size // n if n > 1 else self.partition_size
         if n > 1:
             if per == 0:
@@ -128,13 +140,22 @@ class TileDB:
         return lo, min(lo + per, self.end)
 
     def iter_chunks(self, chunk_size: int = 1000,
-                    shard: Tuple[int, int] = (0, 1)
+                    shard: Tuple[int, int] = (0, 1),
+                    drop_tail: bool = True,
+                    rng: Optional[np.random.Generator] = None
                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (img, mask) chunks over this partition (or this
-        shard's balanced slice of it, see :meth:`shard_range`)."""
-        lo, hi = self.shard_range(shard)
-        for s in range(lo, hi, chunk_size):
-            yield self.read_chunk(s, min(s + chunk_size, hi))
+        shard's slice of it, see :meth:`shard_range`).
+
+        ``rng`` permutes the CHUNK ORDER (the global-shuffle walk
+        TileDataset feeds from); row order within a chunk is the
+        caller's concern."""
+        lo, hi = self.shard_range(shard, drop_tail=drop_tail)
+        starts = np.arange(lo, hi, chunk_size)
+        if rng is not None:
+            starts = starts[rng.permutation(len(starts))]
+        for s in starts:
+            yield self.read_chunk(int(s), int(min(s + chunk_size, hi)))
 
     # ------------------------------------------------------------------ #
 

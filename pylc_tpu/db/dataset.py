@@ -33,7 +33,7 @@ class TileDataset:
                  shuffle: bool = False, drop_last: bool = True,
                  chunk_size: int = 1000, seed: int = 0,
                  shard: Tuple[int, int] = (0, 1),
-                 prefetch: int = 2):
+                 prefetch: int = 2, drop_tail: bool = True):
         self.db = db
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,11 +42,14 @@ class TileDataset:
         self.seed = seed
         self.shard = shard
         self.prefetch = prefetch
+        # drop_tail=False -> remainder-distributing shard split (see
+        # TileDB.shard_range); validation uses it so no row is dropped
+        self.drop_tail = drop_tail
         # size of THIS shard's slice (== partition size at shard (0,1));
         # n_batches must reflect what __iter__ actually yields or
         # steps_per_epoch-derived LR schedules silently run at the
         # wrong rate in multi-host training
-        lo, hi = db.shard_range(shard)
+        lo, hi = db.shard_range(shard, drop_tail=drop_tail)
         self.size = hi - lo
         self._epoch = 0
 
@@ -56,17 +59,14 @@ class TileDataset:
             -(-self.size // self.batch_size)
 
     def _chunk_iter(self, rng: Optional[np.random.Generator]):
-        lo, hi = self.db.shard_range(self.shard)
-        starts = np.arange(lo, hi, self.chunk_size)
-        if rng is not None:
-            # seeded per-epoch permutation of the CHUNK ORDER: without
-            # it every epoch walks the HDF5 file front-to-back and the
-            # shuffle is only chunk-local (the reference Buffer's
-            # sampling bias, db/buffer.py:67-92 — VERDICT r2 weak #6)
-            starts = starts[rng.permutation(len(starts))]
-        for s in starts:
-            imgs, masks = self.db.read_chunk(
-                int(s), int(min(s + self.chunk_size, hi)))
+        # seeded per-epoch permutation of the CHUNK ORDER (inside
+        # iter_chunks): without it every epoch walks the HDF5 file
+        # front-to-back and the shuffle is only chunk-local (the
+        # reference Buffer's sampling bias, db/buffer.py:67-92 —
+        # VERDICT r2 weak #6); rows co-shuffle within each chunk here
+        for imgs, masks in self.db.iter_chunks(
+                self.chunk_size, shard=self.shard,
+                drop_tail=self.drop_tail, rng=rng):
             if rng is not None:
                 perm = rng.permutation(len(imgs))
                 imgs, masks = imgs[perm], masks[perm]

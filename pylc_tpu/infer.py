@@ -66,7 +66,11 @@ class Segmenter:
         self.batch_size = batch_size
         self.crf = crf
         self.mesh = mesh
-        self.cache_size = cache_size or self.CACHE_SIZE
+        if cache_size is not None and cache_size < 1:
+            raise ValueError("cache_size must be >= 1 (the current "
+                             "canvas program must be retained)")
+        self.cache_size = self.CACHE_SIZE if cache_size is None \
+            else cache_size
         self._cache: "OrderedDict[Tuple[int, int, int], Callable]" = \
             OrderedDict()
 
@@ -92,6 +96,21 @@ class Segmenter:
         n_tiles = n_rows * n_cols
         crf = self.crf
         mesh = self.mesh
+        if mesh is not None and crf is not None:
+            # GSPMD cannot partition a pallas_call over a sharded
+            # operand (same limitation the loss documents and works
+            # around in train_state._select_loss), and in the mesh
+            # program the canvas is 'data'-sharded.  Rebuild the hook
+            # on the XLA message-passing form — shifted adds that
+            # GSPMD partitions with automatic halo exchange — unless
+            # the caller already forced a backend other than pallas.
+            p = getattr(crf, "params", None)
+            if p is not None and p.backend != "xla":
+                from pylc_tpu.ops.crf import mean_field
+                xla_params = p._replace(backend="xla")
+
+                def crf(canvas, guide, _p=xla_params):
+                    return mean_field(canvas, guide, _p)
         if mesh is not None:
             # per-chip sub-batches: pad the tile count to a multiple of
             # (mesh_size * batch) so every chip scans the same length

@@ -184,4 +184,7 @@ def make_crf(cfg=None, **overrides):
     def crf(canvas, guide):
         return mean_field(canvas, guide, params)
 
+    # exposed so mesh-aware callers (Segmenter._build) can rebuild the
+    # hook with a GSPMD-partitionable backend
+    crf.params = params
     return crf

@@ -43,6 +43,9 @@ def _pad_to(batch, n):
     """Pad the batch's leading dim up to a multiple of n (repeat-edge) so
     it shards evenly over the mesh."""
     b = batch.shape[0]
+    if b == 0:
+        # an exhausted validation shard feeds an all-padding block
+        return np.zeros((n,) + batch.shape[1:], batch.dtype)
     if b % n == 0:
         return batch
     pad = n - b % n
@@ -99,14 +102,24 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
     # validation keeps partial batches — with a small DB the valid
     # split can be smaller than one batch, and dropping it would starve
     # validation entirely (stale metrics, best-model never saved).
-    # When sharded, each host pulls batch/n_proc rows per step; the
-    # balanced shard split gives every host the same batch count, so no
-    # host exits the SPMD eval loop early.
+    # When sharded, each host pulls batch/n_proc rows per step from a
+    # remainder-distributing split (drop_tail=False: shard sizes differ
+    # by <=1, NO row dropped — the best-dice gate must see the full
+    # split); every host runs the same fixed step count, feeding an
+    # all-padding batch once its shard is exhausted.
     va_rows = batch // n_proc if va_sharded else batch
-    va_local = va_db.shard_range(va_shard)
-    va_ds = TileDataset(va_db, batch_size=min(
-        va_rows, va_local[1] - va_local[0]) or 1, shuffle=False,
-        drop_last=False, chunk_size=cfg.buffer_size, shard=va_shard)
+    va_local = va_db.shard_range(va_shard, drop_tail=False)
+    va_ds = TileDataset(
+        va_db,
+        batch_size=va_rows if va_sharded else
+        (min(va_rows, va_local[1] - va_local[0]) or 1),
+        shuffle=False, drop_last=False, chunk_size=cfg.buffer_size,
+        shard=va_shard, drop_tail=False)
+    if va_sharded:
+        per, tail = divmod(va_db.partition_size, n_proc)
+        # deterministic split -> every host knows every shard's size
+        va_sizes = [per + (1 if j < tail else 0) for j in range(n_proc)]
+        va_steps = -(-va_sizes[0] // va_rows)  # shard 0 is the largest
     steps_per_epoch = max(1, tr_ds.n_batches)
 
     # resolve pretrained-encoder request BEFORE the (expensive) model
@@ -204,17 +217,24 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         """Validate + checkpoint (the reference saves at every
         validation, train.py:146-151)."""
         n_val = 0
-        for img, mask in va_ds:
-            # pad partial batches to the full batch shape so the jitted
-            # eval step compiles once; the valid mask/count keeps the
-            # padding out of the metric reductions (best-dice gating)
-            n_loc = img.shape[0]
-            if va_sharded:
-                # each host contributes its block of the global batch;
-                # padding sits at each block's tail, so validity is a
-                # [batch] mask sharded like the batch.  The balanced
-                # shard split gives every host identical n_loc, so the
-                # global sample count is known host-side (no sync).
+        if va_sharded:
+            # every host runs exactly va_steps psum'd eval steps even
+            # though shard sizes differ by <=1 (tail rows distributed):
+            # an exhausted host feeds an all-padding batch (n_loc=0).
+            # Padding sits at each host block's tail, so validity is a
+            # [batch] mask sharded like the batch; at least shard 0
+            # still holds rows at every step, so the global mask is
+            # never all-zero.
+            va_iter = iter(va_ds)
+            for s in range(va_steps):
+                try:
+                    img, mask = next(va_iter)
+                except StopIteration:
+                    img = np.zeros((0,) + tuple(va_db.img_shape[1:]),
+                                   np.uint8)
+                    mask = np.zeros((0,) + tuple(va_db.mask_shape[1:]),
+                                    np.uint8)
+                n_loc = img.shape[0]
                 vmask = (np.arange(batch // n_proc) < n_loc
                          ).astype(np.float32)
                 gmask = jax.make_array_from_process_local_data(
@@ -222,15 +242,25 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
                 metrics = eval_step(
                     state, *put(img, mask, pad_to=batch, local_rows=True),
                     gmask)
-                weight = float(n_loc * n_proc)
-            else:
+                # global sample count this step — computable host-side
+                # from the deterministic split, identical on every host
+                weight = float(sum(
+                    min(va_rows, max(0, sz - s * va_rows))
+                    for sz in va_sizes))
+                loss.push(metrics, weight=weight)
+                n_val += 1
+        else:
+            for img, mask in va_ds:
+                # pad partial batches to the full batch shape so the
+                # jitted eval step compiles once; the valid count keeps
+                # the padding out of the metric reductions
+                n_loc = img.shape[0]
                 metrics = eval_step(state, *put(img, mask, pad_to=batch),
                                     np.int32(n_loc))
-                weight = float(n_loc)
-            # weight by real sample count so a partial final batch
-            # doesn't carry full-batch influence on best-dice gating
-            loss.push(metrics, weight=weight)
-            n_val += 1
+                # weight by real sample count so a partial final batch
+                # doesn't carry full-batch influence on best-dice gating
+                loss.push(metrics, weight=float(n_loc))
+                n_val += 1
         if n_val == 0 and verbose:
             print("  warning: validation split is empty")
         loss.log(it, training=False)

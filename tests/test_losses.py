@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -149,11 +150,15 @@ def test_eval_step_mask_vector_equals_subset(rng):
     assert float(interleaved["n_valid"]) == 4.0
 
 
-def test_sharded_validation_metrics_match_replicated(rng, tmp_path):
+@pytest.mark.parametrize("n", [10, 11])
+def test_sharded_validation_metrics_match_replicated(rng, tmp_path, n):
     """Simulated 2-host sharded validation (VERDICT r2 item 8): per-host
-    balanced valid shards, block-tail padding + [B] masks, sample-count
-    weighted averaging — the epoch metrics must equal the replicated
-    full-split walk, so the best-dice gate agrees by construction."""
+    valid shards (remainder-distributed, NO tail row dropped),
+    block-tail padding + [B] masks, fixed step count with all-padding
+    batches for exhausted shards, sample-count weighted averaging — the
+    epoch metrics must equal the replicated full-split walk, so the
+    best-dice gate agrees by construction.  n=11 exercises the uneven
+    6/5 split where host 1 runs one step on padding alone."""
     import jax
     from pylc_tpu.config import Config
     from pylc_tpu.db.database import TileDB
@@ -162,7 +167,6 @@ def test_sharded_validation_metrics_match_replicated(rng, tmp_path):
     from pylc_tpu.models.registry import build_model
 
     tile, n_proc, batch = 32, 2, 4
-    n = 10  # valid split: 5 rows/host (floor split, no tail)
     imgs = rng.integers(0, 256, (n, 3, tile, tile)).astype(np.uint8)
     masks = rng.integers(0, 9, (n, tile, tile)).astype(np.uint8)
     path = str(tmp_path / "va.h5")
@@ -195,28 +199,54 @@ def test_sharded_validation_metrics_match_replicated(rng, tmp_path):
         rep.append((eval_step(state, img.transpose(0, 2, 3, 1), mask,
                               np.int32(n_loc)), float(n_loc)))
 
-    # sharded walk: each "host" feeds its block of the global batch
+    # sharded walk, mirroring trainer.validate: each "host" feeds its
+    # block of the global batch from a drop_tail=False shard; every
+    # host runs the same va_steps, exhausted hosts feed zero batches
     rows = batch // n_proc
-    host_ds = [TileDataset(TileDB(path), batch_size=rows, shuffle=False,
-                           drop_last=False, chunk_size=100,
-                           shard=(k, n_proc)) for k in range(n_proc)]
+    per, tail = divmod(n, n_proc)
+    sizes = [per + (1 if j < tail else 0) for j in range(n_proc)]
+    va_steps = -(-sizes[0] // rows)
+    host_it = [iter(TileDataset(TileDB(path), batch_size=rows,
+                                shuffle=False, drop_last=False,
+                                chunk_size=100, shard=(k, n_proc),
+                                drop_tail=False))
+               for k in range(n_proc)]
     shd = []
-    for blocks in zip(*(iter(d) for d in host_ds)):
+    for s_i in range(va_steps):
         gi, gm, gv = [], [], []
-        for img, mask in blocks:
+        for k in range(n_proc):
+            try:
+                img, mask = next(host_it[k])
+            except StopIteration:
+                img = np.zeros((0, 3, tile, tile), np.uint8)
+                mask = np.zeros((0, tile, tile), np.uint8)
             n_loc = len(img)
             pad = rows - n_loc
-            if pad:
+            if pad and n_loc:
                 img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
                 mask = np.concatenate(
                     [mask, np.zeros((pad, tile, tile), np.uint8)])
+            elif not n_loc:
+                img = np.zeros((rows, 3, tile, tile), np.uint8)
+                mask = np.zeros((rows, tile, tile), np.uint8)
             gi.append(img)
             gm.append(mask)
             gv.append((np.arange(rows) < n_loc).astype(np.float32))
         m = eval_step(state, np.concatenate(gi).transpose(0, 2, 3, 1),
                       np.concatenate(gm), np.concatenate(gv))
-        shd.append((m, float(sum(v.sum() for v in gv))))
+        # analytic host-side global count (what the trainer uses)
+        w = float(sum(min(rows, max(0, sz - s_i * rows))
+                      for sz in sizes))
+        assert w == float(sum(v.sum() for v in gv))
+        shd.append((m, w))
 
     ra, sa = weighted_avg(rep), weighted_avg(shd)
     for k in ra:
-        np.testing.assert_allclose(sa[k], ra[k], rtol=1e-5, err_msg=k)
+        # ce/focal are per-pixel means, so count-weighted interval
+        # averages are exact under any grouping; dice aggregates I/U
+        # over the whole batch (reference loss.py:116-146), so its
+        # interval average is grouping-dependent at the ~1e-4 level —
+        # identically so on a single host (RunningLoss also averages
+        # per-batch dice), hence gating still agrees
+        rtol = 1e-3 if k in ("dice", "total") else 1e-5
+        np.testing.assert_allclose(sa[k], ra[k], rtol=rtol, err_msg=k)

@@ -114,3 +114,55 @@ def test_segment_many_rejects_mixed_shapes(rng):
     seg._cache[(128, 192, 256)] = lambda *args: (None, None)
     with pytest.raises(ValueError, match="uniform shapes"):
         seg.segment_many([a, b])
+
+
+@pytest.mark.slow
+def test_mesh_crf_uses_partitionable_backend_and_matches(rng):
+    """mesh + --crf: GSPMD cannot partition the Pallas CRF kernel over
+    the 'data'-sharded canvas (the loss documents the same limitation,
+    train_state._select_loss), so Segmenter._build must rebuild the
+    hook on the XLA shifted-add form — and the result must match the
+    single-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from pylc_tpu.ops import crf as crf_mod
+    from pylc_tpu.ops.crf import make_crf
+
+    tile = 64
+    cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                           input_size=tile, output_size=24,
+                           unet_depth=3, unet_wf=3, dropout=0.0,
+                           compute_dtype="float32")
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    predict = make_predict(cfg, build_model(cfg, train=False))
+    img = rng.integers(0, 256, (160, 224, 3)).astype(np.uint8)
+
+    # force the pallas backend as a real TPU 'auto' run would select
+    crf_pallas = make_crf(n_iters=2, downsample=1, backend="pallas")
+    assert crf_pallas.params.backend == "pallas"
+
+    # the mesh program must NOT invoke the pallas kernel
+    import pylc_tpu.ops.pallas.crf_kernel as ck
+    pallas_calls = []
+    real_iter = ck.crf_iteration
+
+    def spy(*a, **kw):
+        pallas_calls.append(1)
+        return real_iter(*a, **kw)
+
+    orig = crf_mod.mean_field  # jitted; patch the kernel module instead
+    ck.crf_iteration = spy
+    try:
+        sharded = Segmenter(cfg, state, predict, batch_size=1,
+                            mesh=get_mesh(8), crf=crf_pallas)
+        res8 = sharded.segment_array(img, stride=32)
+    finally:
+        ck.crf_iteration = real_iter
+        crf_mod.mean_field = orig
+    assert not pallas_calls, "mesh program traced the pallas CRF kernel"
+
+    single = Segmenter(cfg, state, predict, batch_size=2,
+                       crf=make_crf(n_iters=2, downsample=1,
+                                    backend="xla"))
+    res1 = single.segment_array(img, stride=32)
+    np.testing.assert_array_equal(res1["class_map"], res8["class_map"])
