@@ -100,17 +100,25 @@ class Segmenter:
             # GSPMD cannot partition a pallas_call over a sharded
             # operand (same limitation the loss documents and works
             # around in train_state._select_loss), and in the mesh
-            # program the canvas is 'data'-sharded.  Rebuild the hook
-            # on the XLA message-passing form — shifted adds that
-            # GSPMD partitions with automatic halo exchange — unless
-            # the caller already forced a backend other than pallas.
+            # program the canvas is 'data'-sharded.  Run the Pallas
+            # kernel per row band under shard_map with explicit halo
+            # exchange (parallel/sharded_crf.py — bit-identical to the
+            # single-device kernel); geometries whose bands can't hold
+            # the message radius fall back to the XLA shifted-add form,
+            # which GSPMD partitions with automatic halo exchange.
             p = getattr(crf, "params", None)
             if p is not None and p.backend != "xla":
-                from pylc_tpu.ops.crf import mean_field
-                xla_params = p._replace(backend="xla")
+                from pylc_tpu.parallel.sharded_crf import (
+                    can_shard_crf, mean_field_sharded)
+                if can_shard_crf(H, p, mesh.devices.size):
+                    def crf(canvas, guide, _p=p, _m=mesh):
+                        return mean_field_sharded(canvas, guide, _p, _m)
+                else:
+                    from pylc_tpu.ops.crf import mean_field
+                    xla_params = p._replace(backend="xla")
 
-                def crf(canvas, guide, _p=xla_params):
-                    return mean_field(canvas, guide, _p)
+                    def crf(canvas, guide, _p=xla_params):
+                        return mean_field(canvas, guide, _p)
         if mesh is not None:
             # per-chip sub-batches: pad the tile count to a multiple of
             # (mesh_size * batch) so every chip scans the same length

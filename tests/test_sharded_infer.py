@@ -117,16 +117,16 @@ def test_segment_many_rejects_mixed_shapes(rng):
 
 
 @pytest.mark.slow
-def test_mesh_crf_uses_partitionable_backend_and_matches(rng):
+def test_mesh_crf_runs_pallas_kernel_under_shard_map(rng):
     """mesh + --crf: GSPMD cannot partition the Pallas CRF kernel over
-    the 'data'-sharded canvas (the loss documents the same limitation,
-    train_state._select_loss), so Segmenter._build must rebuild the
-    hook on the XLA shifted-add form — and the result must match the
-    single-device run."""
+    the 'data'-sharded canvas, so Segmenter._build reroutes through
+    parallel/sharded_crf.py — the kernel runs per row band under
+    shard_map with halo exchange — and the result must match the
+    single-device run exactly."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
-    from pylc_tpu.ops import crf as crf_mod
     from pylc_tpu.ops.crf import make_crf
+    from pylc_tpu.parallel import sharded_crf as sc
 
     tile = 64
     cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
@@ -141,7 +141,54 @@ def test_mesh_crf_uses_partitionable_backend_and_matches(rng):
     crf_pallas = make_crf(n_iters=2, downsample=1, backend="pallas")
     assert crf_pallas.params.backend == "pallas"
 
-    # the mesh program must NOT invoke the pallas kernel
+    calls = []
+    real = sc.mean_field_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    # the Segmenter imports the symbol at trace time from the module
+    sc.mean_field_sharded = spy
+    try:
+        sharded = Segmenter(cfg, state, predict, batch_size=1,
+                            mesh=get_mesh(8), crf=crf_pallas)
+        res8 = sharded.segment_array(img, stride=32)
+    finally:
+        sc.mean_field_sharded = real
+    assert calls, "mesh program did not engage the sharded pallas CRF"
+
+    single = Segmenter(cfg, state, predict, batch_size=2,
+                       crf=make_crf(n_iters=2, downsample=1,
+                                    backend="pallas"))
+    res1 = single.segment_array(img, stride=32)
+    np.testing.assert_array_equal(res1["class_map"], res8["class_map"])
+
+
+@pytest.mark.slow
+def test_mesh_crf_unshardable_geometry_falls_back_to_xla(rng):
+    """When a band cannot hold the message radius (can_shard_crf
+    False), the mesh program must fall back to the XLA shifted-add
+    form and never trace the pallas kernel."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from pylc_tpu.ops.crf import make_crf
+
+    tile = 64
+    cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                           input_size=tile, output_size=24,
+                           unet_depth=3, unet_wf=3, dropout=0.0,
+                           compute_dtype="float32")
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    predict = make_predict(cfg, build_model(cfg, train=False))
+    img = rng.integers(0, 256, (160, 224, 3)).astype(np.uint8)
+
+    # downsample 8: grid 20 rows -> 3-row bands < radius 4
+    crf_pallas = make_crf(n_iters=2, downsample=8, radius=4,
+                          backend="pallas")
+    from pylc_tpu.parallel.sharded_crf import can_shard_crf
+    assert not can_shard_crf(160, crf_pallas.params, 8)
+
     import pylc_tpu.ops.pallas.crf_kernel as ck
     pallas_calls = []
     real_iter = ck.crf_iteration
@@ -150,7 +197,6 @@ def test_mesh_crf_uses_partitionable_backend_and_matches(rng):
         pallas_calls.append(1)
         return real_iter(*a, **kw)
 
-    orig = crf_mod.mean_field  # jitted; patch the kernel module instead
     ck.crf_iteration = spy
     try:
         sharded = Segmenter(cfg, state, predict, batch_size=1,
@@ -158,11 +204,52 @@ def test_mesh_crf_uses_partitionable_backend_and_matches(rng):
         res8 = sharded.segment_array(img, stride=32)
     finally:
         ck.crf_iteration = real_iter
-        crf_mod.mean_field = orig
     assert not pallas_calls, "mesh program traced the pallas CRF kernel"
 
     single = Segmenter(cfg, state, predict, batch_size=2,
-                       crf=make_crf(n_iters=2, downsample=1,
+                       crf=make_crf(n_iters=2, downsample=8, radius=4,
                                     backend="xla"))
     res1 = single.segment_array(img, stride=32)
     np.testing.assert_array_equal(res1["class_map"], res8["class_map"])
+
+
+def test_sharded_crf_matches_single_device_kernel(rng):
+    """mean_field_sharded == mean_field(pallas) bit-for-bit: halo
+    exchange + per-iteration re-pinning of the global pad rows
+    reproduce the unsharded kernel's replicated-edge semantics,
+    including uneven band splits (H=100 over 8 devices)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+    from pylc_tpu.ops.crf import CRFParams, mean_field
+    from pylc_tpu.parallel.sharded_crf import (can_shard_crf,
+                                               mean_field_sharded)
+
+    H, W, C = 100, 140, 5
+    probs = rng.dirichlet(np.ones(C), size=(H, W)).astype(np.float32)
+    guide = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    mesh = get_mesh(8)
+    for ds in (1, 2):
+        p = CRFParams(n_iters=5, radius=3, downsample=ds,
+                      backend="pallas")
+        assert can_shard_crf(H, p, 8)
+        ref = np.asarray(mean_field(jnp.asarray(probs),
+                                    jnp.asarray(guide), p))
+        got = np.asarray(mean_field_sharded(
+            jnp.asarray(probs), jnp.asarray(guide), p, mesh))
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_can_shard_crf_rejects_pad_spanning_bands():
+    """9 grid rows over 8 devices gives uniform bands of 2 with 7 pad
+    rows — pad spills past the last band, where the per-iteration edge
+    re-pinning can't correct it, so the geometry must be rejected even
+    though each band holds >= radius rows."""
+    from pylc_tpu.ops.crf import CRFParams
+    from pylc_tpu.parallel.sharded_crf import can_shard_crf
+
+    p = CRFParams(n_iters=1, radius=2, downsample=1, backend="pallas")
+    assert not can_shard_crf(9, p, 8)      # h_loc=2 >= r, but pad=7 >= 2
+    assert can_shard_crf(16, p, 8)         # exact split
+    assert can_shard_crf(15, p, 8)         # pad=1 < h_loc=2
+    assert not can_shard_crf(8, p, 8)      # h_loc=1 < radius
