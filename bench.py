@@ -25,10 +25,38 @@ synced).  BASELINE.md quotes `--mode all` output verbatim.
 import argparse
 import contextlib
 import json
+import os
 import sys
 import time
 
 TARGET_PER_CHIP = 10.0 / 2.0 / 8  # MP/s/chip north-star
+
+
+def _init_backend_or_die(timeout_s=240):
+    """Initialize the jax backend under a watchdog.
+
+    The image's default backend is a TPU behind a tunnel
+    (JAX_PLATFORMS=axon); when the relay grant is unavailable, device
+    enumeration blocks indefinitely in a retry-sleep loop.  A healthy
+    tunnel enumerates in seconds (the ~95 s first-fetch cost comes
+    later), so fail fast with a diagnostic instead of silently eating
+    the caller's whole time budget."""
+    import threading
+    done = threading.Event()
+    box = {}
+
+    def probe():
+        import jax
+        box["devices"] = jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: jax backend init did not complete in {timeout_s}s "
+              "— TPU tunnel/relay unreachable?  (JAX_PLATFORMS="
+              f"{os.environ.get('JAX_PLATFORMS', '')!r})", file=sys.stderr)
+        os._exit(3)  # the probe thread is stuck; a plain exit would hang
+    return box["devices"]
 
 
 def _fetch(x):
@@ -181,6 +209,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--trace", default=None, metavar="DIR")
     args = ap.parse_args()
+
+    _init_backend_or_die()
 
     ctx = contextlib.nullcontext()
     if args.trace:
