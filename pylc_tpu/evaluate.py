@@ -186,25 +186,61 @@ class Evaluator:
         path = os.path.join(self.metrics_dir, self.fid + "_metrics.tex")
         with open(path, "w") as f:
             f.write(report_to_tex(self.metrics.results.get("report", {}),
-                                  title=self.fid))
+                                  title=self.fid,
+                                  model_id=self.cfg.id or "",
+                                  summary=self.metrics.results))
         return path
 
 
-def report_to_tex(report: Dict, title: str = "") -> str:
-    """Classification-report dict -> LaTeX table (reference
-    utils/tex.py:20-100 capability)."""
-    rows = []
-    for name, vals in report.items():
-        if not isinstance(vals, dict):
-            continue
-        rows.append(
-            f"  {name} & {vals.get('precision', 0):.3f} & "
-            f"{vals.get('recall', 0):.3f} & {vals.get('f1-score', 0):.3f} & "
-            f"{int(vals.get('support', 0))} \\\\")
-    body = "\n".join(rows)
-    return (
-        "\\begin{table}[ht]\n\\centering\n"
-        f"\\caption{{{title}}}\n"
-        "\\begin{tabular}{lrrrr}\n\\toprule\n"
-        "Class & Precision & Recall & F1 & Support \\\\\n\\midrule\n"
-        f"{body}\n\\bottomrule\n\\end{{tabular}}\n\\end{{table}}\n")
+def report_to_tex(report: Dict, title: str = "", model_id: str = "",
+                  summary: Optional[Dict] = None) -> str:
+    """Classification-report dict -> LaTeX table.
+
+    Full reference utils/tex.py:20-100 capability: per-class
+    precision/recall/F1/support rows, macro and weighted averages
+    separated below a rule, support shown as a fraction of total
+    pixels, and a footer carrying pixel accuracy plus the aggregate
+    F1 / wIoU / MCC scores and total pixel count (``summary`` is the
+    Metrics results dict).  Layout is booktabs instead of \\hline
+    stacks; information content matches."""
+    summary = summary or {}
+    total = report.get("macro avg", {}).get("support") or sum(
+        int(v.get("support", 0)) for k, v in report.items()
+        if isinstance(v, dict) and not k.endswith("avg")) or 1
+    avg_names = {"macro avg": "cAvg", "weighted avg": "wAvg"}
+
+    def row(name, vals):
+        frac = float(vals.get("support", 0)) / float(total)
+        return (f"  {name} & {vals.get('precision', 0):.3f} & "
+                f"{vals.get('recall', 0):.3f} & "
+                f"{vals.get('f1-score', 0):.3f} & {frac:.3f} \\\\")
+
+    classes = [row(k, v) for k, v in report.items()
+               if isinstance(v, dict) and k not in avg_names]
+    avgs = [row(short, report[k]) for k, short in avg_names.items()
+            if isinstance(report.get(k), dict)]
+    footer = []
+    acc = report.get("accuracy")
+    if acc is not None:
+        footer.append("  \\multicolumn{2}{l}{\\textbf{Pixel Accuracy:}} & "
+                      f"{float(acc):.3f} & & \\\\")
+    for key, label in (("f1", "F1 Score"), ("iou", "wIoU"), ("mcc", "MCC")):
+        if key in summary:
+            footer.append(f"  \\multicolumn{{2}}{{l}}{{\\textbf{{{label}:}}"
+                          f"}} & {float(summary[key]):.3f} & & \\\\")
+    footer.append("  \\multicolumn{2}{l}{\\textbf{Total Pixels:}} & "
+                  f"{int(total)} & & \\\\")
+    caption = title + (f" (Model: {model_id})" if model_id else "")
+    parts = [
+        "\\begin{table}[ht]\n\\centering",
+        f"\\caption{{{caption}}}",
+        f"\\label{{tab:class_report_{title}}}",
+        "\\small\n\\begin{tabular}{lrrrr}\n\\toprule",
+        "Class & Precision & Recall & F1 & Support \\\\\n\\midrule",
+        "\n".join(classes),
+    ]
+    if avgs:
+        parts += ["\\midrule", "\n".join(avgs)]
+    parts += ["\\bottomrule", "\n".join(footer),
+              "\\end{tabular}\n\\end{table}\n"]
+    return "\n".join(parts)

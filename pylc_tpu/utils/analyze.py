@@ -143,6 +143,150 @@ def plot_losses(model_dir: str, out_path: Optional[str] = None):
     return fig
 
 
+def load_runs(model_dirs) -> list:
+    """Loss logs for several model directories (multi-experiment
+    comparison, reference analyze.py load_models/load_outputs
+    capability).  Returns [{'name', 'losses'}] in input order."""
+    return [{"name": os.path.basename(os.path.normpath(d)),
+             "losses": load_losses(d)} for d in model_dirs]
+
+
+def _smooth(v, k: int):
+    """Centered moving average (the reference smooths train curves with
+    a Savitzky-Golay filter; a moving average needs no scipy and reads
+    the same at plot scale)."""
+    v = np.asarray(v, np.float64)
+    if k <= 1 or v.size < k:
+        return v
+    kern = np.ones(k) / k
+    return np.convolve(v, kern, mode="same")
+
+
+def plot_run_comparison(model_dirs, out_path: Optional[str] = None,
+                        smooth: int = 9):
+    """CE loss and mIoU (1 - dice) curves for several training runs on
+    shared axes (reference analyze.py plot_eval capability): smoothed
+    train curves as lines, validation points as markers."""
+    plt = _plt()
+    runs = load_runs(model_dirs)
+    fig, (a_ce, a_iou) = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    markers = "sov^Dp*"
+    for i, run in enumerate(runs):
+        m = markers[i % len(markers)]
+        for phase, ls in (("train", "-"), ("valid", "--")):
+            rows = run["losses"].get(phase, [])
+            if not rows:
+                continue
+            it = [r[0] for r in rows]
+            ce = [r[1] for r in rows]
+            miou = [1.0 - r[2] for r in rows]
+            if phase == "train":
+                a_ce.plot(it, _smooth(ce, smooth), ls, lw=1,
+                          label=f"{run['name']} (train)")
+                a_iou.plot(it, _smooth(miou, smooth), ls, lw=1,
+                           label=f"{run['name']} (train)")
+            else:
+                a_ce.plot(it, ce, ls, marker=m, ms=4, lw=0.8,
+                          label=f"{run['name']} (valid)")
+                a_iou.plot(it, miou, ls, marker=m, ms=4, lw=0.8,
+                           label=f"{run['name']} (valid)")
+    a_ce.set_ylabel("CE loss")
+    a_iou.set_ylabel("mIoU (1 - dice loss)")
+    a_iou.set_xlabel("iteration")
+    a_ce.legend(fontsize=7)
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+        return out_path
+    return fig
+
+
+def plot_grid_profiles(db_path: str, n: int = 25, n_cols: int = 5,
+                       offset: int = 0, rates=None,
+                       out_path: Optional[str] = None):
+    """Per-tile class-distribution bar grid (reference analyze.py
+    plot_grid_profiles capability): one histogram per tile in palette
+    colours with the balanced line, optionally annotated with the
+    augmentor's per-tile oversample ``rates``."""
+    plt = _plt()
+    db, meta = load_db(db_path)
+    n = min(n, db.size - offset)
+    n_rows = -(-n // n_cols)
+    colors = [np.asarray(c) / 255.0 for c in meta.palette_rgb]
+    fig, axes = plt.subplots(n_rows, n_cols, sharex=True, sharey=True,
+                             figsize=(2.2 * n_cols, 1.8 * n_rows),
+                             squeeze=False)
+    x = np.arange(meta.n_classes)
+    for k in range(n):
+        ax = axes[k // n_cols][k % n_cols]
+        _, mask = db.read_chunk(offset + k, offset + k + 1)
+        dist = np.bincount(mask[0].ravel(), minlength=meta.n_classes)
+        ax.bar(x, dist / dist.sum(), color=colors, alpha=0.8)
+        ax.axhline(1 / meta.n_classes, ls="--", lw=0.8, color="k")
+        title = f"#{offset + k}"
+        if rates is not None:
+            title += f" r={rates[offset + k]}"
+        ax.set_title(title, fontsize=7)
+        ax.set_xticks([])
+    for k in range(n, n_rows * n_cols):
+        axes[k // n_cols][k % n_cols].axis("off")
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+        return out_path
+    return fig
+
+
+def plot_eval_comparison(eval_json_paths, out_path: Optional[str] = None):
+    """Grouped bar chart of F1 / wIoU / MCC across ``_eval.json``
+    artifacts (the rebuild's eval-comparison analogue of the
+    reference's multi-experiment plots)."""
+    plt = _plt()
+    names, scores = [], []
+    for p in eval_json_paths:
+        with open(p) as f:
+            d = json.load(f)
+        names.append(os.path.basename(p).replace("_eval.json", ""))
+        scores.append([d.get("f1", 0), d.get("iou", 0), d.get("mcc", 0)])
+    scores = np.asarray(scores)
+    x = np.arange(len(names))
+    w = 0.25
+    fig, ax = plt.subplots(figsize=(1.2 * len(names) + 3, 3.2))
+    for j, metric in enumerate(("F1", "wIoU", "MCC")):
+        ax.bar(x + (j - 1) * w, scores[:, j], w, label=metric)
+    ax.set_xticks(x, names, rotation=30, ha="right", fontsize=8)
+    ax.set_ylim(0, 1)
+    ax.legend()
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+        return out_path
+    return fig
+
+
+def compare_predictions(img_path: str, preds: dict,
+                        out_path: Optional[str] = None):
+    """Photo plus one predicted RGB mask per named experiment in one
+    row (reference analyze.py plot_sample_comparison capability)."""
+    plt = _plt()
+    from pylc_tpu.utils.imageio import get_image
+    img, *_ = get_image(img_path, ch=3)
+    panels = [("photo", img)] + list(preds.items())
+    fig, axes = plt.subplots(1, len(panels),
+                             figsize=(4 * len(panels), 3.5))
+    if len(panels) == 1:
+        axes = [axes]
+    for ax, (title, data) in zip(axes, panels):
+        ax.imshow(data)
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+        return out_path
+    return fig
+
+
 def side_by_side(img_path: str, mask_rgb: np.ndarray,
                  mask_true_rgb: Optional[np.ndarray] = None,
                  out_path: Optional[str] = None):

@@ -216,6 +216,11 @@ def test_aggregate_metrics_and_tex(extracted_db, tiny_cfg, tmp_path, rng):
     tex = ev.save_tex()
     content = open(tex).read()
     assert "\\begin{table}" in content and "NC" in content
+    # full reference tex.py capability: separated averages + footer
+    # with pixel accuracy, aggregate scores, and total pixel count
+    for token in ("cAvg", "wAvg", "Pixel Accuracy", "F1 Score", "wIoU",
+                  "MCC", "Total Pixels"):
+        assert token in content, f"missing {token!r} in tex export"
 
 
 def test_db_clip_fraction(extracted_db):
