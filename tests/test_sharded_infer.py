@@ -239,6 +239,14 @@ def test_sharded_crf_matches_single_device_kernel(rng):
             jnp.asarray(probs), jnp.asarray(guide), p, mesh))
         np.testing.assert_array_equal(ref, got)
 
+    # grayscale pipelines (ch=1) feed an [H, W, 1] guide
+    g1 = guide[..., :1]
+    p = CRFParams(n_iters=3, radius=3, downsample=2, backend="pallas")
+    ref = np.asarray(mean_field(jnp.asarray(probs), jnp.asarray(g1), p))
+    got = np.asarray(mean_field_sharded(
+        jnp.asarray(probs), jnp.asarray(g1), p, mesh))
+    np.testing.assert_array_equal(ref, got)
+
 
 def test_can_shard_crf_rejects_pad_spanning_bands():
     """9 grid rows over 8 devices gives uniform bands of 2 with 7 pad
