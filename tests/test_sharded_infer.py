@@ -248,6 +248,27 @@ def test_sharded_crf_matches_single_device_kernel(rng):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_sharded_crf_other_mesh_size(rng):
+    """4-device mesh with an uneven band split (Hk=27 -> bands of 7,
+    pad 1): the band/pad arithmetic must hold below the full mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import jax.numpy as jnp
+    from pylc_tpu.ops.crf import CRFParams, mean_field
+    from pylc_tpu.parallel.sharded_crf import (can_shard_crf,
+                                               mean_field_sharded)
+
+    H, W, C = 54, 96, 4
+    probs = rng.dirichlet(np.ones(C), size=(H, W)).astype(np.float32)
+    guide = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    p = CRFParams(n_iters=2, radius=3, downsample=2, backend="pallas")
+    assert can_shard_crf(H, p, 4)
+    ref = np.asarray(mean_field(jnp.asarray(probs), jnp.asarray(guide), p))
+    got = np.asarray(mean_field_sharded(
+        jnp.asarray(probs), jnp.asarray(guide), p, get_mesh(4)))
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_can_shard_crf_rejects_pad_spanning_bands():
     """9 grid rows over 8 devices gives uniform bands of 2 with 7 pad
     rows — pad spills past the last band, where the per-iteration edge

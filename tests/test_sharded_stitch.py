@@ -65,3 +65,28 @@ def test_can_shard_guard():
     assert can_shard(8, 32, 16, 8)
     assert can_shard(9, 32, 16, 8)          # uneven: zero-weight pad
     assert not can_shard(8, 32, 4, 8)       # k-1 = 7 > 1 local row
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize("n_rows,tile,stride", [
+    (7, 32, 16),    # uneven over both mesh sizes, k=2
+    (10, 32, 8),    # k=4, multi-row spill
+])
+def test_sharded_stitch_other_mesh_sizes(rng, n_dev, n_rows, tile,
+                                         stride):
+    """Mesh sizes below the full 8: band/pad arithmetic must not bake
+    in n_dev=8 assumptions (the CRF sibling had a pad-spanning bug of
+    exactly this class)."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs {n_dev} devices")
+    n_cols, C = 3, 5
+    mesh = get_mesh(n_dev)
+    probs = rng.random((n_rows * n_cols, tile, tile, C)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.asarray(stitch_probs(jnp.asarray(probs), n_rows, n_cols,
+                                  tile, stride))
+    assert can_shard(n_rows, tile, stride, n_dev)
+    out = stitch_probs_sharded(jnp.asarray(probs), n_rows, n_cols,
+                               tile, stride, mesh)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6,
+                               atol=1e-7)
