@@ -151,12 +151,23 @@ class Segmenter:
         @jax.jit
         def run(state, img):
             tiles = unfold_tiles(img, tile, stride)  # [N, t, t, ch]
+            if mesh is not None:
+                # Pin the unfold replicated: its layout moves are a few
+                # image-sized copies (cheap), and partitioning them
+                # would make GSPMD hunt for a sharded transpose plan it
+                # can't find — it falls back to replicate-then-partition
+                # anyway, with an "involuntary full rematerialization"
+                # warning.  Stating the plan keeps it deterministic and
+                # silent; the batch constraint below then shards with a
+                # plain slice.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, P()))
             if n_pad:
                 tiles = jnp.concatenate(
                     [tiles, jnp.repeat(tiles[-1:], n_pad, axis=0)], axis=0)
             tiles = tiles.reshape((n_batches, group) + tiles.shape[1:])
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 tiles = jax.lax.with_sharding_constraint(
                     tiles, NamedSharding(mesh, P(None, "data")))
 
