@@ -159,7 +159,11 @@ def _smooth(v, k: int):
     if k <= 1 or v.size < k:
         return v
     kern = np.ones(k) / k
-    return np.convolve(v, kern, mode="same")
+    # edge-pad so the window never averages with implicit zeros (a
+    # plain mode="same" convolve dips toward 0 at both ends)
+    pad = k // 2
+    vp = np.pad(v, (pad, k - 1 - pad), mode="edge")
+    return np.convolve(vp, kern, mode="valid")
 
 
 def plot_run_comparison(model_dirs, out_path: Optional[str] = None,
