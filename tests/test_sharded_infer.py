@@ -39,6 +39,37 @@ def test_sharded_inference_matches_single_device(rng):
     np.testing.assert_array_equal(res1["mask_rgb"], res8["mask_rgb"])
 
 
+def test_mesh_segment_stream_matches_single_device(rng):
+    """segment_stream is the CLI tester's iteration path (one-image
+    device lookahead); on a mesh every streamed class map must equal
+    the single-device result, including across a mid-stream canvas
+    shape change (new compiled program per shape)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    tile = 64
+    cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                           input_size=tile, output_size=24,
+                           unet_depth=3, unet_wf=3, dropout=0.0,
+                           compute_dtype="float32")
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    predict = make_predict(cfg, build_model(cfg, train=False))
+    imgs = [("a", rng.integers(0, 256, (160, 224, 3)).astype(np.uint8)),
+            ("b", rng.integers(0, 256, (160, 224, 3)).astype(np.uint8)),
+            ("c", rng.integers(0, 256, (128, 192, 3)).astype(np.uint8))]
+
+    single = Segmenter(cfg, state, predict, batch_size=2)
+    want = {tag: single.segment_array(im, stride=32)["class_map"]
+            for tag, im in imgs}
+
+    sharded = Segmenter(cfg, state, predict, batch_size=1,
+                        mesh=get_mesh(8))
+    got = dict((tag, res["class_map"]) for tag, res in
+               sharded.segment_stream(iter(imgs), stride=32))
+    assert list(got) == ["a", "b", "c"]
+    for tag in want:
+        np.testing.assert_array_equal(want[tag], got[tag])
+
+
 def test_mesh_segmenter_engages_sharded_stitch(rng, monkeypatch):
     """A mesh Segmenter must actually route through the halo-exchange
     canvas stitch (VERDICT r2: it was shelf-ware, test-only), not fall
