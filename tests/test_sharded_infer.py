@@ -70,6 +70,34 @@ def test_mesh_segment_stream_matches_single_device(rng):
         np.testing.assert_array_equal(want[tag], got[tag])
 
 
+def test_mesh_segment_many_matches_single_device(rng):
+    """segment_many is the pipelined batch path (bench --mode
+    pipeline); on a mesh every photo's class map must equal the
+    single-device result."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    tile = 64
+    cfg = Config().replace(arch="unet", ch=3, tile_size=tile,
+                           input_size=tile, output_size=24,
+                           unet_depth=3, unet_wf=3, dropout=0.0,
+                           compute_dtype="float32")
+    state, _ = init_state(cfg, jax.random.PRNGKey(0))
+    predict = make_predict(cfg, build_model(cfg, train=False))
+    imgs = [rng.integers(0, 256, (160, 224, 3)).astype(np.uint8)
+            for _ in range(3)]
+
+    single = Segmenter(cfg, state, predict, batch_size=2)
+    want = [single.segment_array(im, stride=32)["class_map"]
+            for im in imgs]
+
+    sharded = Segmenter(cfg, state, predict, batch_size=1,
+                        mesh=get_mesh(8))
+    got = sharded.segment_many(imgs, stride=32)
+    assert len(got) == 3
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g["class_map"])
+
+
 def test_mesh_segmenter_engages_sharded_stitch(rng, monkeypatch):
     """A mesh Segmenter must actually route through the halo-exchange
     canvas stitch (VERDICT r2: it was shelf-ware, test-only), not fall
