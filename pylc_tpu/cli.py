@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 from pylc_tpu.config import Config
 
@@ -265,6 +266,33 @@ def print_profile(meta: Config):
         print(f"{lbl:28s}{meta.probs[i]:>10.4f}{meta.weights[i]:>10.4f}")
 
 
+def _slow_backend_notice(warn_after_s: float = 90.0):
+    """Warn (without aborting) when accelerator-backend init stalls.
+
+    On a tunneled TPU a lost relay grant makes the first jax backend
+    touch block indefinitely in a retry loop with no output; a healthy
+    tunnel initializes in seconds.  The CLI keeps waiting (unlike
+    bench.py's hard watchdog) because a slow-but-alive link should
+    still complete — but the user gets told what the silence means.
+    Returns a callable that cancels the notice."""
+    import threading
+
+    done = threading.Event()
+
+    def warn():
+        if not done.wait(warn_after_s):
+            print(
+                f"[pylc] accelerator backend init has not completed in "
+                f"{warn_after_s:.0f}s (JAX_PLATFORMS="
+                f"{os.environ.get('JAX_PLATFORMS', 'default')!r}).  If "
+                "this never finishes, the device/tunnel is unreachable "
+                "— retry, or run on CPU with JAX_PLATFORMS=cpu.",
+                file=sys.stderr)
+
+    threading.Thread(target=warn, daemon=True).start()
+    return done.set
+
+
 def main(argv=None):
     parser = get_parser()
     args = parser.parse_args(argv)
@@ -273,6 +301,14 @@ def main(argv=None):
     for d in (cfg.root, cfg.db_dir, cfg.save_dir, cfg.model_dir,
               cfg.output_dir):
         os.makedirs(d, exist_ok=True)
+    # every mode touches the device; initialize the backend up front so
+    # a stalled tunnel produces a diagnostic instead of silence
+    cancel = _slow_backend_notice()
+    try:
+        import jax
+        jax.devices()
+    finally:
+        cancel()
     args.func(args)
 
 

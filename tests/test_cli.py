@@ -77,3 +77,20 @@ def test_multihost_flag_parses_and_stays_out_of_config():
     assert not hasattr(cfg, "multihost") or cfg.multihost is True
     args2 = p.parse_args(["train", "--db", "x"])
     assert args2.multihost is False
+
+
+def test_slow_backend_notice_fires_and_cancels(capsys):
+    """The CLI's backend-init stall notice must fire when init hangs
+    past the threshold and stay silent when init completes first."""
+    import time
+    from pylc_tpu.cli import _slow_backend_notice
+
+    cancel = _slow_backend_notice(warn_after_s=0.2)
+    time.sleep(0.6)
+    cancel()
+    assert "has not completed" in capsys.readouterr().err
+
+    cancel = _slow_backend_notice(warn_after_s=0.5)
+    cancel()
+    time.sleep(0.7)
+    assert capsys.readouterr().err == ""
