@@ -56,6 +56,11 @@ def _init_backend_or_die(timeout_s=240):
               "— TPU tunnel/relay unreachable?  (JAX_PLATFORMS="
               f"{os.environ.get('JAX_PLATFORMS', '')!r})", file=sys.stderr)
         os._exit(3)  # the probe thread is stuck; a plain exit would hang
+    # persistent XLA compilation cache: a cold DeepLab canvas-program
+    # compile costs ~500 s against the tunneled backend, a cached one
+    # seconds (docs/PERF_ROUND3.md); no-op on CPU backends
+    from pylc_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
     return box["devices"]
 
 

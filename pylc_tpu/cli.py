@@ -309,6 +309,11 @@ def main(argv=None):
         jax.devices()
     finally:
         cancel()
+    # persistent XLA compilation cache (TPU backends): repeat CLI
+    # invocations reload their compiled programs in seconds instead of
+    # re-paying the ~500 s tunnel compile (docs/PERF_ROUND3.md)
+    from pylc_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
     args.func(args)
 
 
