@@ -74,18 +74,33 @@ class Segmenter:
         self._cache: "OrderedDict[Tuple[int, int, int], Callable]" = \
             OrderedDict()
 
-    def _program(self, H: int, W: int, stride: int) -> Callable:
-        """Compiled canvas program for (H, W, stride), LRU-cached."""
+    def _program(self, H: int, W: int, stride: int):
+        """Compiled canvas program for (H, W, stride), LRU-cached.
+
+        Returns (run, band_plan): band_plan is None for single-device /
+        replicated programs; for banded mesh programs it describes the
+        host-side row-band split the caller must apply (see
+        :meth:`_put_input`)."""
         key = (H, W, stride)
-        run = self._cache.get(key)
-        if run is None:
-            run = self._build(H, W, stride)
-            self._cache[key] = run
+        entry = self._cache.get(key)
+        if entry is None:
+            entry = self._build(H, W, stride)
+            self._cache[key] = entry
             if len(self._cache) > self.cache_size:
                 self._cache.popitem(last=False)  # evict least-recent
         else:
             self._cache.move_to_end(key)
-        return run
+        return entry
+
+    def _put_input(self, img: np.ndarray, plan):
+        """Place a fitted [H, W, C] image for its program: replicated
+        device_put normally; per-device overlapping row bands (H2D
+        bytes ~ 1/n per chip) for banded mesh programs."""
+        if plan is None:
+            return jax.device_put(img)
+        from pylc_tpu.parallel import banded_infer as BI
+        return jax.device_put(BI.split_bands(img, plan),
+                              BI.band_sharding(self.mesh))
 
     # ------------------------------------------------------------------ #
 
@@ -148,6 +163,28 @@ class Segmenter:
             p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return p.astype(probs_dtype)
 
+        if use_sharded_stitch:
+            # FULLY-BANDED mesh program (round 4, VERDICT r3 item 6):
+            # the host uploads per-device overlapping row bands (H2D
+            # bytes ~ total/n per chip instead of a replicated full
+            # image), and unfold + forward + stitch all run per-band
+            # under one shard_map — nothing left in the program scales
+            # with the full image on a single chip.
+            from pylc_tpu.parallel import banded_infer as BI
+            plan = BI.plan_bands(H, W, tile, stride, mesh.devices.size)
+
+            @jax.jit
+            def run_b(state, bands):
+                canvas = BI.run_banded(
+                    state, bands, forward_probs, n_cols, tile, stride,
+                    mesh, self.batch_size, plan)
+                if crf is not None:
+                    canvas = crf(canvas, BI.banded_guide(bands, plan))
+                class_map = jnp.argmax(canvas, axis=-1).astype(jnp.uint8)
+                return class_map, canvas
+
+            return run_b, plan
+
         @jax.jit
         def run(state, img):
             tiles = unfold_tiles(img, tile, stride)  # [N, t, t, ch]
@@ -195,7 +232,7 @@ class Segmenter:
             class_map = jnp.argmax(canvas, axis=-1).astype(jnp.uint8)
             return class_map, canvas
 
-        return run
+        return run, None
 
     def segment_array(self, img: np.ndarray, stride: Optional[int] = None
                       ) -> Dict:
@@ -208,10 +245,10 @@ class Segmenter:
         if img.ndim == 2:
             img = img[..., None]
         H, W = img.shape[:2]
-        run = self._program(H, W, stride)
+        run, plan = self._program(H, W, stride)
 
         t0 = time.perf_counter()
-        class_map, canvas = run(self.state, jnp.asarray(img))
+        class_map, canvas = run(self.state, self._put_input(img, plan))
         # fetch the 1-byte/px class map (3x less than RGB over the
         # host link) and colourize with the native host LUT
         class_map = np.asarray(class_map)
@@ -242,12 +279,12 @@ class Segmenter:
         if img.ndim == 2:
             img = img[..., None]
         H, W = img.shape[:2]
-        run = self._program(H, W, stride)
+        run, plan = self._program(H, W, stride)
 
         stages = {}
         t0 = time.perf_counter()
-        dev = jax.device_put(img)
-        np.asarray(dev[0, 0, 0])  # sync the upload
+        dev = self._put_input(img, plan)
+        np.asarray(dev[(0,) * (dev.ndim - 1)])  # sync the upload
         stages["h2d"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -285,7 +322,7 @@ class Segmenter:
         if not imgs:
             return []
         H, W = imgs[0].shape[:2]
-        run = self._program(H, W, stride)
+        run, plan = self._program(H, W, stride)
 
         t0 = time.perf_counter()
         pending = []
@@ -297,22 +334,28 @@ class Segmenter:
                     f"segment_many requires uniform shapes: imgs[{i}] is "
                     f"{img.shape[:2]}, imgs[0] is {(H, W)} — use "
                     "segment_stream for mixed-shape batches.")
-            dev = jax.device_put(img)  # async H2D
+            dev = self._put_input(img, plan)  # async H2D
             class_map, _ = run(self.state, dev)
             pending.append(class_map)  # no sync — keep the pipe full
         pal = np.asarray(cfg.palette_rgb, np.uint8)
         from pylc_tpu import native
         out = []
+        prev = t0
         for cm in pending:
-            cm = np.asarray(cm)
+            cm = np.asarray(cm)  # sync point for THIS item
+            now = time.perf_counter()
             out.append({
                 "class_map": cm,
                 "mask_rgb": native.colourize(cm, pal),
                 "megapixels": H * W / 1e6,
+                # marginal wall time: previous item's completion -> this
+                # one's (first item carries the pipeline fill); keeps
+                # sum(seconds) == total wall without erasing tail latency
+                "seconds": now - prev,
+                # completion timestamp since batch start (tail latency)
+                "completed_s": now - t0,
             })
-        total = time.perf_counter() - t0
-        for o in out:
-            o["seconds"] = total / len(out)
+            prev = now
         return out
 
     def segment_stream(self, items, stride: Optional[int] = None):
@@ -331,9 +374,10 @@ class Segmenter:
             if img.ndim == 2:
                 img = img[..., None]
             H, W = img.shape[:2]
-            run = self._program(H, W, stride)
+            run, plan = self._program(H, W, stride)
             t0 = time.perf_counter()
-            class_map, canvas = run(self.state, jax.device_put(img))
+            class_map, canvas = run(self.state,
+                                    self._put_input(img, plan))
             return (tag, class_map, canvas, H, W, t0)
 
         def finish(pending):

@@ -76,32 +76,64 @@ def stitch_probs_sharded(tile_probs, n_rows: int, n_cols: int,
 
     def shard_fn(tp):
         # tp: [nL * n_cols, t, t, C] — this shard's tile rows
-        d = jax.lax.axis_index(axis_name)
-        rows = d * nL + jnp.arange(nL)
-        w = jnp.repeat((rows < n_rows).astype(jnp.float32), n_cols)
-        acc, cnt = accumulate_blocks(tp, nL, n_cols, tile_size, stride,
-                                     tile_weights=w)
-        # local blocks span [nL + k - 1] rows: the band we own plus the
-        # spill belonging to the right neighbour
-        keep_a, spill_a = acc[:nL], acc[nL:]
-        keep_c, spill_c = cnt[:nL], cnt[nL:]
-        if spill_rows and n_dev > 1:
-            perm = [(i, i + 1) for i in range(n_dev - 1)]
-            halo_a = jax.lax.ppermute(spill_a, axis_name, perm)
-            halo_c = jax.lax.ppermute(spill_c, axis_name, perm)
-            keep_a = keep_a.at[:spill_rows].add(halo_a)
-            keep_c = keep_c.at[:spill_rows].add(halo_c)
-        band = blocks_to_canvas(keep_a / jnp.maximum(keep_c, 1e-9))
-        if not spill_rows:
-            return (band,)
-        return band, spill_a, spill_c
+        return local_stitch_with_halo(tp, nL, n_cols, tile_size, stride,
+                                      axis_name, n_dev, n_rows)
 
     if spill_rows:
-        bands, spills_a, spills_c = shard_map(
+        outs = shard_map(
             shard_fn, mesh=mesh,
             in_specs=P(axis_name),
             out_specs=(P(axis_name), P(axis_name), P(axis_name)),
         )(tile_probs)
+    else:
+        # k == 1: no overlap, no halo — pure banded accumulate
+        outs = shard_map(shard_fn, mesh=mesh, in_specs=P(axis_name),
+                         out_specs=(P(axis_name),))(tile_probs)
+    return assemble_canvas(outs, spill_rows, n_rows, stride, tile_size)
+
+
+def local_stitch_with_halo(tp, nL: int, n_cols: int, tile_size: int,
+                           stride: int, axis_name: str, n_dev: int,
+                           n_rows: int):
+    """Per-shard body (call INSIDE shard_map): overlap-add this shard's
+    ``nL`` tile rows, zero-weighting grid-padding rows (row index >=
+    n_rows), ship the (k-1)-block-row spill to the right neighbour over
+    ICI, fold the received halo into the band head.
+
+    Returns (band,) when k == 1, else (band, spill_a, spill_c) — the
+    final shard's spill is the global canvas tail (see
+    :func:`assemble_canvas`).  Shared by the probs-input sharded stitch
+    above and the fully-banded inference program
+    (pylc_tpu/parallel/banded_infer.py)."""
+    k = tile_size // stride
+    spill_rows = k - 1
+    d = jax.lax.axis_index(axis_name)
+    rows = d * nL + jnp.arange(nL)
+    w = jnp.repeat((rows < n_rows).astype(jnp.float32), n_cols)
+    acc, cnt = accumulate_blocks(tp, nL, n_cols, tile_size, stride,
+                                 tile_weights=w)
+    # local blocks span [nL + k - 1] rows: the band we own plus the
+    # spill belonging to the right neighbour
+    keep_a, spill_a = acc[:nL], acc[nL:]
+    keep_c, spill_c = cnt[:nL], cnt[nL:]
+    if spill_rows and n_dev > 1:
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        halo_a = jax.lax.ppermute(spill_a, axis_name, perm)
+        halo_c = jax.lax.ppermute(spill_c, axis_name, perm)
+        keep_a = keep_a.at[:spill_rows].add(halo_a)
+        keep_c = keep_c.at[:spill_rows].add(halo_c)
+    band = blocks_to_canvas(keep_a / jnp.maximum(keep_c, 1e-9))
+    if not spill_rows:
+        return (band,)
+    return band, spill_a, spill_c
+
+
+def assemble_canvas(outs, spill_rows: int, n_rows: int, stride: int,
+                    tile_size: int) -> jnp.ndarray:
+    """Assemble shard_map outputs of :func:`local_stitch_with_halo`
+    into the [H, W, C] canvas (still row-sharded over the mesh)."""
+    if spill_rows:
+        bands, spills_a, spills_c = outs
         # bands is the globally-sharded [n_rows_p*s, W, C] body; the
         # tail (k-1 block rows) comes from the LAST shard's spill —
         # with row padding the true tail lives inside the padded body,
@@ -111,10 +143,8 @@ def stitch_probs_sharded(tile_probs, n_rows: int, n_cols: int,
             jnp.maximum(spills_c[-spill_rows:], 1e-9))
         full = jnp.concatenate([bands, tail], axis=0)
     else:
-        # k == 1: no overlap, no halo — pure banded accumulate
-        (full,) = shard_map(shard_fn, mesh=mesh, in_specs=P(axis_name),
-                            out_specs=(P(axis_name),))(tile_probs)
-    H = ((n_rows - 1) * s + tile_size)
+        (full,) = outs
+    H = ((n_rows - 1) * stride + tile_size)
     return full[:H]
 
 
