@@ -104,13 +104,14 @@ def _median(xs):
 
 
 def bench_infer(use_crf=False, repeats=6):
-    # `value` is best-of-N: the tunneled H2D link to the bench chip
-    # varies 3x run-to-run and a single slow window otherwise dominates
-    # the wall metric (device compute is stable at ~152 ms/10MP photo).
-    # `value_median` bounds that optimism (VERDICT r2 item 5), and
-    # `stages` decomposes one representative run (h2d/compute/d2h/
-    # colourize, via Segmenter.segment_array_staged) so the variance
-    # can be attributed — the tunnel legs move, the compute leg doesn't.
+    # `value` is the MEDIAN of N runs (VERDICT r3 item 7): the tunneled
+    # H2D link to the bench chip varies 3x run-to-run, so best-of-N is
+    # the optimistic tail — the headline the driver parses must be the
+    # honest central estimate.  `value_best` keeps the optimistic bound
+    # (device compute is stable at ~152 ms/10MP photo), and `stages`
+    # decomposes one representative run (h2d/compute/d2h/colourize, via
+    # Segmenter.segment_array_staged) so the variance can be attributed
+    # — the tunnel legs move, the compute leg doesn't.
     cfg, seg = build_segmenter(crf=use_crf)
     fitted = synthetic_photo(cfg)
     seg.segment_array(fitted)  # compile
@@ -120,7 +121,7 @@ def bench_infer(use_crf=False, repeats=6):
         times.append(res["seconds"])
     staged = seg.segment_array_staged(fitted)
     mp = res["megapixels"]
-    mps = mp / min(times)
+    mps = mp / _median(times)
     label = "tile->infer->CRF->stitch" if use_crf else "tile->infer->stitch"
     return {
         "metric": f"{label} throughput (DeepLabV3+/ResNet101, 10MP, "
@@ -128,7 +129,7 @@ def bench_infer(use_crf=False, repeats=6):
         "value": round(mps, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / TARGET_PER_CHIP, 3),
-        "value_median": round(mp / _median(times), 3),
+        "value_best": round(mp / min(times), 3),
         "seconds_best": round(min(times), 4),
         "seconds_median": round(_median(times), 4),
         "stages_s": {k: round(v, 4) for k, v in staged["stages"].items()},
@@ -139,12 +140,13 @@ def bench_pipeline(n_photos=10, use_crf=True, repeats=3):
     """Batched pipeline (BASELINE.json config 5, scaled by --photos):
     distinct decoded photos through fit->tile->infer->CRF->stitch.
 
-    Repeated ``repeats`` times; best AND median are reported because the
-    tunnel H2D link (~30 MB/s, 3x run-to-run variance) is inside the
-    pipelined wall — round 2 published a single draw ("4.1-10.1 MP/s
-    across runs"), which VERDICT r2 item 5 correctly called an unbounded
-    error bar.  A staged single-photo decomposition rides along so the
-    moving leg is identifiable."""
+    Repeated ``repeats`` times; median is the headline and best rides
+    along (VERDICT r3 item 7) because the tunnel H2D link (~30 MB/s, 3x
+    run-to-run variance) is inside the pipelined wall — round 2
+    published a single draw ("4.1-10.1 MP/s across runs"), which
+    VERDICT r2 item 5 correctly called an unbounded error bar.  A staged
+    single-photo decomposition rides along so the moving leg is
+    identifiable."""
     cfg, seg = build_segmenter(crf=use_crf)
     photos = [synthetic_photo(cfg, seed=i) for i in range(n_photos)]
     seg.segment_array(photos[0])  # compile once (same canvas shape)
@@ -159,10 +161,10 @@ def bench_pipeline(n_photos=10, use_crf=True, repeats=3):
     return {
         "metric": f"batched pipeline ({n_photos} photos, "
                   f"CRF={'on' if use_crf else 'off'})",
-        "value": round(max(rates), 3),
+        "value": round(_median(rates), 3),
         "unit": "MP/s/chip",
-        "vs_baseline": round(max(rates) / TARGET_PER_CHIP, 3),
-        "value_median": round(_median(rates), 3),
+        "vs_baseline": round(_median(rates) / TARGET_PER_CHIP, 3),
+        "value_best": round(max(rates), 3),
         "stages_s": {k: round(v, 4) for k, v in staged["stages"].items()},
     }
 
@@ -205,10 +207,118 @@ def bench_train(steps=20, batch=8):
     }
 
 
+def _train_db_file(n_tiles=256, tile=512, path="/tmp/pylc_bench_db.h5"):
+    """Build (once) a realistic gzip-chunked .h5: band-structured tiles
+    with sensor noise — compresses like photographic content, unlike
+    iid random bytes (which would make gzip the only bottleneck)."""
+    import numpy as np
+    if os.path.exists(path):
+        return path
+    from pylc_tpu.config import Config
+    from pylc_tpu.db.database import TileDB
+    rng = np.random.default_rng(0)
+    imgs = np.empty((n_tiles, 3, tile, tile), np.uint8)
+    masks = np.empty((n_tiles, tile, tile), np.uint8)
+    for i in range(n_tiles):
+        cmap = ((np.arange(tile) * 9 // tile) + i) % 9
+        base = (cmap.astype(np.float32) * 24.0) + 20.0
+        img = base[None, :] + rng.normal(0, 12, (3, tile, tile))
+        imgs[i] = np.clip(img, 0, 255).astype(np.uint8)
+        masks[i] = np.broadcast_to(cmap.astype(np.uint8), (tile, tile))
+    cfg = Config().replace(ch=3, tile_size=tile, n_tiles=n_tiles)
+    TileDB.save(path, imgs, masks, cfg)
+    return path
+
+
+def bench_train_db(batch=8, epochs=2):
+    """Sustained training throughput FED FROM A REAL gzip .h5 through
+    TileDataset prefetch + device placement (VERDICT r3 item 3: the
+    plain train bench pins one device-resident batch and says nothing
+    about whether the input pipeline can keep the chip fed).
+
+    Reports steps/s sustained, the device-resident floor, and an
+    attribution split: host-only pipeline rate (HDF5 gzip read +
+    shuffle, no device) and H2D-only rate (device_put + sync), so a
+    gap between sustained and floor is assignable to host vs link.
+    Reference analogue: Buffer/worker chunk loading
+    (/root/reference/db/buffer.py:67-92, db/database.py:129-149)."""
+    import jax
+    import numpy as np
+    from pylc_tpu.config import Config
+    from pylc_tpu.db.database import TileDB
+    from pylc_tpu.db.dataset import TileDataset
+    from pylc_tpu.train_state import (init_state, make_step_key,
+                                      make_train_step)
+
+    path = _train_db_file()
+    db = TileDB(path)
+    cfg = Config().replace(arch="deeplab", backbone="resnet", ch=3,
+                           batch_size=batch)
+    state, model = init_state(cfg, jax.random.PRNGKey(0), 100)
+    step = make_train_step(cfg, model)
+    key = make_step_key(0, cfg.rng_impl)
+
+    ds = TileDataset(db, batch_size=batch, shuffle=True, drop_last=True,
+                     chunk_size=64)
+
+    # compile + device floor on one device-resident batch
+    img0, mask0 = next(iter(ds))
+    di, dm = jax.device_put(img0), jax.device_put(mask0)
+    state, m = step(state, di, dm, key)
+    _fetch(m["total"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        state, m = step(state, di, dm, sub)
+    _fetch(m["total"])
+    floor_sps = 10 / (time.perf_counter() - t0)
+
+    # host-only pipeline rate (no device work)
+    t0 = time.perf_counter()
+    n_host = sum(1 for _ in ds)
+    host_sps = n_host / (time.perf_counter() - t0)
+
+    # H2D-only rate (place every batch, force materialization)
+    t0 = time.perf_counter()
+    n_h2d = 0
+    for img, mask in ds:
+        di2, dm2 = jax.device_put(img), jax.device_put(mask)
+        n_h2d += 1
+    _fetch(dm2)
+    _fetch(di2[0, 0, 0, :4])
+    h2d_sps = n_h2d / (time.perf_counter() - t0)
+
+    # sustained: full feed -> step loop, epochs x
+    t0 = time.perf_counter()
+    n_steps = 0
+    for _ in range(epochs):
+        for img, mask in ds:
+            key, sub = jax.random.split(key)
+            state, m = step(state, jax.device_put(img),
+                            jax.device_put(mask), sub)
+            n_steps += 1
+    _fetch(m["total"])
+    sustained_sps = n_steps / (time.perf_counter() - t0)
+
+    return {
+        "metric": f"sustained train steps/s from gzip .h5 "
+                  f"(DeepLabV3+/ResNet101, batch {batch}, 512px, "
+                  f"{db.size} tiles)",
+        "value": round(sustained_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(sustained_sps / floor_sps, 3),
+        "device_floor_sps": round(floor_sps, 3),
+        "host_pipeline_sps": round(host_sps, 3),
+        "h2d_sps": round(h2d_sps, 3),
+        "tiles_s": round(sustained_sps * batch, 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="infer",
-                    choices=("infer", "crf", "pipeline", "train", "all"))
+                    choices=("infer", "crf", "pipeline", "train",
+                             "train_db", "all"))
     ap.add_argument("--photos", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20)
@@ -232,12 +342,15 @@ def main():
         elif args.mode == "train":
             print(json.dumps(bench_train(steps=args.steps,
                                          batch=args.batch)))
+        elif args.mode == "train_db":
+            print(json.dumps(bench_train_db(batch=args.batch)))
         else:  # all: every BASELINE.md row, pinned configs
             print(json.dumps(bench_infer()))
             print(json.dumps(bench_infer(use_crf=True)))
             print(json.dumps(bench_pipeline(args.photos)))
             print(json.dumps(bench_train(steps=args.steps, batch=8)))
             print(json.dumps(bench_train(steps=args.steps, batch=16)))
+            print(json.dumps(bench_train_db(batch=8)))
 
 
 if __name__ == "__main__":
