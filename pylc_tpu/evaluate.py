@@ -119,6 +119,11 @@ class Evaluator:
             self.y_true = np.concatenate(self.y_true_aggregate)
             self.y_pred = np.concatenate(self.y_pred_aggregate)
         if seed_class_pixels:  # reference quirk (utils/evaluate.py:171-174)
+            # Seed copies: self.y_true/y_pred are the same ndarray objects
+            # appended to y_*_aggregate in load(), so in-place seeding would
+            # leak the forced pixels into a later evaluate(aggregate=True).
+            self.y_true = self.y_true.copy()
+            self.y_pred = self.y_pred.copy()
             for idx in range(len(self.cfg.class_codes)):
                 self.y_true[idx] = idx
                 self.y_pred[idx] = idx

@@ -223,6 +223,34 @@ def test_aggregate_metrics_and_tex(extracted_db, tiny_cfg, tmp_path, rng):
         assert token in content, f"missing {token!r} in tex export"
 
 
+def test_seed_class_pixels_does_not_corrupt_aggregate(tiny_cfg, tmp_path):
+    """Per-image evaluate(seed_class_pixels=True) must not leak the
+    forced class pixels into a later evaluate(aggregate=True): load()
+    appends the very same ndarray objects to y_*_aggregate, so seeding
+    must copy first (VERDICT r3 item 9)."""
+    import cv2
+    from pylc_tpu.evaluate import Evaluator
+    from pylc_tpu.config import Schema, DEFAULT_SCHEMA
+    schema = Schema.load(DEFAULT_SCHEMA)
+    palette = np.array(schema.palette_rgb, np.uint8)
+    cfg = tiny_cfg.replace(output_dir=str(tmp_path / "o"), id="seed")
+    ev = Evaluator(cfg)
+    # ground truth and prediction are BOTH uniformly class 5: any other
+    # class id appearing in the aggregate arrays is seed leakage
+    cm = np.full((16, 16), 5, np.uint8)
+    tp = str(tmp_path / "t.png")
+    cv2.imwrite(tp, cv2.cvtColor(palette[cm], cv2.COLOR_RGB2BGR))
+    for i in range(2):
+        ev.load(palette[cm], f"img{i}", mask_true_path=tp)
+        ev.evaluate(seed_class_pixels=True)  # reference-parity mode
+        # the seeded copy itself must contain the forced class ids
+        assert ev.y_true[0] == 0 and ev.y_true[8] == 8
+    ev.evaluate(aggregate=True)
+    assert np.all(ev.y_true == 5), "seeded pixels leaked into aggregate"
+    assert np.all(ev.y_pred == 5)
+    assert ev.metrics.results["f1"] == 1.0
+
+
 def test_db_clip_fraction(extracted_db):
     """clip uses a fraction of the dataset (reference db/database.py:71)."""
     from pylc_tpu.db.database import TileDB
