@@ -29,20 +29,27 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     features can mismatch the loading host (the loader warns "could
     lead to execution errors such as SIGILL"), so on a CPU backend this
     is a measured no-op, not a safety call we leave to chance."""
-    path = path or os.environ.get("PYLC_COMPILATION_CACHE") or \
+    env = os.environ.get("PYLC_COMPILATION_CACHE")
+    # The env kill-switch wins even over an explicit path argument —
+    # otherwise a caller passing a default path would silently defeat it.
+    if env is not None and env.strip().lower() in ("off", "none", ""):
+        return None
+    path = path or env or \
         os.path.join(os.path.expanduser("~"), ".cache", "pylc_tpu", "xla")
-    if path in ("off", "none", ""):
+    if path.strip().lower() in ("off", "none", ""):
         return None
     import jax
     if jax.default_backend() == "cpu":
         return None
     try:
         os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
         # default gate is 1 s of compile time — keep everything slower
         # than that (the models here compile in minutes; toy test
-        # programs below the gate aren't worth the disk round-trip)
+        # programs below the gate aren't worth the disk round-trip).
+        # Set the cache dir LAST so a failure here leaves the cache
+        # fully off, matching the returned None.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", path)
     except (OSError, AttributeError) as e:  # unwritable dir / old jax
         import sys
         print(f"compilation cache disabled ({e})", file=sys.stderr)
