@@ -191,6 +191,13 @@ def bench_train(steps=20, batch=8):
     key = make_step_key(0, cfg.rng_impl)
     state, m = step(state, img, mask, key)  # compile
     _fetch(m["total"])
+    # steady-state warmup: the first dispatches after compile carry ~2 s
+    # of one-time setup on the tunnel link (measured: wall(n) = 2.1 s +
+    # 45 ms*n); without this, short runs under-report by 2-7x
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, m = step(state, img, mask, sub)
+    _fetch(m["total"])
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
