@@ -240,7 +240,9 @@ def make_train_step(cfg: Config, model, mesh=None):
         metrics = dict(aux, total=total)
         return state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    from pylc_tpu.utils.compopts import tpu_compiler_options
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
 
 
 def make_eval_step(cfg: Config, model_eval):
@@ -277,7 +279,8 @@ def make_eval_step(cfg: Config, model_eval):
                                 sample_mask=sm)
         return dict(aux, total=total, n_valid=jnp.sum(sm))
 
-    return jax.jit(step)
+    from pylc_tpu.utils.compopts import tpu_compiler_options
+    return jax.jit(step, compiler_options=tpu_compiler_options())
 
 
 def make_predict(cfg: Config, model_eval):
@@ -294,4 +297,5 @@ def make_predict(cfg: Config, model_eval):
             variables["batch_stats"] = state.batch_stats
         return model_eval.apply(variables, x, train=False)
 
-    return jax.jit(predict)
+    from pylc_tpu.utils.compopts import tpu_compiler_options
+    return jax.jit(predict, compiler_options=tpu_compiler_options())
