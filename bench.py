@@ -332,6 +332,11 @@ def main():
     ap.add_argument("--trace", default=None, metavar="DIR")
     args = ap.parse_args()
 
+    if os.environ.get("PYLC_BENCH_CRASH_FOR_TEST"):
+        # test hook: lets the suite exercise the real crash->JSON guard
+        # below without a real device failure (tests/test_bench.py)
+        raise ValueError(os.environ["PYLC_BENCH_CRASH_FOR_TEST"])
+
     _init_backend_or_die()
 
     ctx = contextlib.nullcontext()
@@ -361,4 +366,17 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except SystemExit:
+        raise
+    except BaseException as e:
+        # driver contract: ALWAYS leave one parseable JSON line, even on
+        # a crash (a bare traceback records nothing for the round); the
+        # traceback still goes to stderr and the exit stays nonzero
+        print(json.dumps({
+            "metric": "error", "value": 0.0, "unit": "",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        raise

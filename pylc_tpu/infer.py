@@ -106,6 +106,13 @@ class Segmenter:
 
     def _build(self, H: int, W: int, stride: int) -> Callable:
         cfg = self.cfg
+        # measured-win PJRT options belong on the TOP-LEVEL canvas jit
+        # only (docs/PERF_ROUND4.md); self.predict runs nested inside it
+        # and must stay options-free (JAX rejects nested options)
+        from functools import partial
+
+        from pylc_tpu.utils.compopts import tpu_compiler_options
+        jit_top = partial(jax.jit, compiler_options=tpu_compiler_options())
         tile = cfg.tile_size
         n_rows, n_cols = grid_dims(W, H, tile, stride)
         n_tiles = n_rows * n_cols
@@ -173,7 +180,7 @@ class Segmenter:
             from pylc_tpu.parallel import banded_infer as BI
             plan = BI.plan_bands(H, W, tile, stride, mesh.devices.size)
 
-            @jax.jit
+            @jit_top
             def run_b(state, bands):
                 canvas = BI.run_banded(
                     state, bands, forward_probs, n_cols, tile, stride,
@@ -185,7 +192,7 @@ class Segmenter:
 
             return run_b, plan
 
-        @jax.jit
+        @jit_top
         def run(state, img):
             tiles = unfold_tiles(img, tile, stride)  # [N, t, t, ch]
             if mesh is not None:

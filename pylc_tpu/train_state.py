@@ -297,5 +297,8 @@ def make_predict(cfg: Config, model_eval):
             variables["batch_stats"] = state.batch_stats
         return model_eval.apply(variables, x, train=False)
 
-    from pylc_tpu.utils.compopts import tpu_compiler_options
-    return jax.jit(predict, compiler_options=tpu_compiler_options())
+    # NO compiler_options here: the Segmenter calls this jit NESTED
+    # inside its canvas program, and JAX rejects compiler_options on a
+    # non-top-level jit.  The canvas programs (infer.py _build) apply
+    # the options at their own top level.
+    return jax.jit(predict)

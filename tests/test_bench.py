@@ -48,3 +48,22 @@ print("NOT REACHED")
     assert proc.returncode == 3, (proc.returncode, proc.stderr)
     assert "did not complete" in proc.stderr
     assert "NOT REACHED" not in proc.stdout
+
+
+def test_crash_still_emits_one_json_line():
+    """Regression (round 4: a nested-compiler-options ValueError left
+    the driver with a bare traceback and NO metric line): an unexpected
+    crash must still print one parseable JSON line and exit nonzero."""
+    import json
+    env = dict(os.environ)
+    env["PYLC_BENCH_CRASH_FOR_TEST"] = "boom"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--mode",
+         "infer"],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert proc.returncode != 0
+    assert "ValueError" in proc.stderr  # traceback still visible
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "error" and "boom" in rec["error"]
