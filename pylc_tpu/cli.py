@@ -150,6 +150,29 @@ def get_parser() -> argparse.ArgumentParser:
                          "all visible chips; 1 = single-chip).")
     te.set_defaults(func=run_test)
 
+    # ------------------------- export --------------------------------- #
+    xp = sub.add_parser(
+        "export",
+        help="Export a hermetic serving artifact (.pylcx): the compiled "
+             "tile->forward->stitch program with weights inlined, "
+             "loadable without the model zoo (pylc_tpu/export.py).")
+    _base(xp)
+    xp.add_argument("-l", "--model", type=str, required=True,
+                    metavar="MODEL_PATH")
+    xp.add_argument("--size", type=str, required=True, metavar="HxW",
+                    help="Fitted canvas geometry, e.g. 1024x1536 (must be "
+                         "tile multiples; one artifact per geometry).")
+    xp.add_argument("--stride", type=int, default=None,
+                    help="Tile stride (default tile_size/2, the test "
+                         "path's overlap).")
+    xp.add_argument("--crf", action="store_true",
+                    help="Bake dense-CRF refinement into the program.")
+    xp.add_argument("--platforms", type=str, default=None,
+                    help="Comma-separated lowering targets (e.g. "
+                         "'tpu,cpu'); default: this host's backend.")
+    xp.add_argument("-o", "--output", type=str, default=None)
+    xp.set_defaults(func=run_export)
+
     return p
 
 
@@ -248,6 +271,36 @@ def run_test(args):
          aggregate_metrics=args.aggregate_metrics,
          use_crf=getattr(args, "crf", False),
          n_devices=getattr(args, "n_devices", None))
+
+
+def run_export(args):
+    from pylc_tpu.export import save_artifact
+    from pylc_tpu.infer import Segmenter
+    from pylc_tpu.tester import load_model
+    cfg = _cfg_from_args(args)
+    try:
+        H, W = (int(v) for v in args.size.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--size must be HxW (got {args.size!r})")
+    cfg, state, predict = load_model(args.model, cfg)
+    if H % cfg.tile_size or W % cfg.tile_size:
+        raise SystemExit(f"--size {H}x{W} must be multiples of the "
+                         f"model's tile size ({cfg.tile_size})")
+    crf = None
+    if getattr(args, "crf", False):
+        from pylc_tpu.ops.crf import make_crf
+        crf = make_crf(cfg)
+    seg = Segmenter(cfg, state, predict, batch_size=16, crf=crf)
+    platforms = args.platforms.split(",") if args.platforms else None
+    out = args.output or os.path.join(
+        cfg.save_dir, f"{cfg.id or 'model'}_{H}x{W}.pylcx")
+    header = save_artifact(out, seg, H, W, stride=args.stride,
+                           platforms=platforms)
+    size_mb = os.path.getsize(out) / 2 ** 20
+    print(f"Exported serving artifact: {out} ({size_mb:.1f} MB)\n"
+          f"  geometry {H}x{W} ch={header['ch']} stride="
+          f"{header['stride']}, platforms {header['platforms']}, "
+          f"calling convention v{header['calling_convention']}")
 
 
 def print_profile(meta: Config):
