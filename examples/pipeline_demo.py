@@ -86,8 +86,25 @@ def main():
                    mask_path=os.path.join(mask_dir, stem + ".png"))
     print(json.dumps(results[0]["metrics"].get("report", {}).get(
         "weighted avg", results[0]["metrics"]), indent=2, default=str))
+
+    print("== export (hermetic serving artifact) ==")
+    import numpy as np
+    from pylc_tpu.export import ServingModel, save_artifact
+    from pylc_tpu.infer import Segmenter
+    from pylc_tpu.tester import load_model
+    mcfg, state, predict = load_model(
+        os.path.join(model_dir, model_id + ".ckpt"))
+    seg = Segmenter(mcfg, state, predict, batch_size=16)
+    Hs = Ws = 2 * mcfg.tile_size
+    pylcx = os.path.join(args.workdir, "demo.pylcx")
+    save_artifact(pylcx, seg, Hs, Ws)
+    server = ServingModel.load(pylcx)  # needs no model code
+    served = server.segment(np.zeros((Hs, Ws, mcfg.ch), np.uint8))
+    print(f"   {pylcx}: serves {served['class_map'].shape} masks "
+          f"on platforms {server.meta['platforms']}")
+
     print(f"\nArtifacts in {args.workdir}: profile.png samples.png "
-          f"losses.png + data/outputs/{model_id}/")
+          f"losses.png demo.pylcx + data/outputs/{model_id}/")
 
 
 if __name__ == "__main__":
