@@ -362,11 +362,12 @@ def main(argv=None):
         jax.devices()
     finally:
         cancel()
-    # persistent XLA compilation cache (TPU backends): repeat CLI
-    # invocations reload their compiled programs in seconds instead of
-    # re-paying the ~500 s tunnel compile (docs/PERF_ROUND3.md)
+    # persistent XLA compilation cache: repeat CLI invocations reload
+    # their compiled programs in seconds instead of re-paying the
+    # ~500 s tunnel compile (docs/PERF_ROUND3.md); CPU runs cache under
+    # a per-host-fingerprint subdir (compcache._host_fingerprint)
     from pylc_tpu.utils.compcache import enable_compilation_cache
-    enable_compilation_cache()
+    enable_compilation_cache(allow_cpu=True)
     args.func(args)
 
 

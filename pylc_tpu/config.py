@@ -215,6 +215,15 @@ class Config:
 
     # training loop / reporting
     resume_checkpoint: bool = False
+    # Train-split shuffling (the reference's DataLoader hardcodes
+    # shuffle=True, train.py:40).  Off gives a fully deterministic,
+    # process-count-invariant global batch ORDER: contiguous per-process
+    # shards concatenate to exactly the single-process stream, which is
+    # what makes the 1-proc vs N-proc equivalence test exact in the
+    # presence of dropout (dropout masks bind to batch SLOTS, so BN
+    # moments after dropout are not row-order invariant — see
+    # tests/test_multiprocess_train.py).
+    shuffle: bool = True
     report: int = 20
     save_logits: bool = False
     aggregate_metrics: bool = False

@@ -96,8 +96,9 @@ def train(cfg: Config, db_path: str, n_devices: Optional[int] = None,
         print(f"Global batch rounded {cfg.batch_size} -> {batch} to shard "
               f"evenly over the {n_mesh}-device mesh.")
 
-    tr_ds = TileDataset(tr_db, batch_size=batch // n_proc, shuffle=True,
-                        drop_last=True, chunk_size=cfg.buffer_size,
+    tr_ds = TileDataset(tr_db, batch_size=batch // n_proc,
+                        shuffle=cfg.shuffle, drop_last=True,
+                        chunk_size=cfg.buffer_size,
                         shard=(proc_i, n_proc))
     # validation keeps partial batches — with a small DB the valid
     # split can be smaller than one batch, and dropping it would starve

@@ -47,14 +47,26 @@ def main():
     assert jax.process_count() == num_procs
     assert jax.device_count() == num_procs * devs_per_proc
 
+    # reuse/warm the suite's persistent compile cache (safe after
+    # distributed init; per-host fingerprint namespaces the CPU cache)
+    from pylc_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache(allow_cpu=True)
+
     from pylc_tpu.config import Config
     from pylc_tpu.trainer import train
 
+    # shuffle=False makes the global batch ORDER process-count-invariant
+    # (contiguous shards concatenate to the single-process stream), which
+    # the equivalence test needs because dropout masks bind to batch
+    # slots: with shuffling, 1-proc and N-proc runs pair different rows
+    # with different dropout masks and the BN running stats legitimately
+    # diverge at ~1e-2 (measured, docs/PERF_ROUND5.md) with no
+    # placement-path bug involved.
     cfg = Config().replace(
         arch="deeplab", backbone="mobilenet", ch=3, tile_size=64,
         batch_size=8, n_epochs=2, norm_type="syncbatch",
         optim_type="sgd", compute_dtype="float32", n_workers=0,
-        report=1, save_dir=os.path.join(out_dir, "save"))
+        report=1, shuffle=False, save_dir=os.path.join(out_dir, "save"))
     summary = train(cfg, db_path, verbose=(proc_id == 0))
 
     import numpy as np

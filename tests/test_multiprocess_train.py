@@ -8,12 +8,32 @@ virtual mesh.  Here it runs as TWO actual `jax.distributed` processes
 (gloo CPU collectives, 4 virtual devices each) against a single-process
 run on an identical 8-device mesh, and the final parameters must agree.
 
-Determinism argument: the train split is exactly one global batch
-(8 rows), so every step consumes the same row SET regardless of how
-processes shard it; batch reductions (BN stats, loss mean, grads) are
-order-invariant over the batch axis, the mesh has 8 devices either
-way, and both runs execute the same GSPMD program — so parameters
-match to reduction-order float noise.
+Determinism argument (corrected in round 5 — the round-4 version was
+wrong):  the train split is exactly one global batch (8 rows), so every
+step consumes the same row SET regardless of process count.  But the
+same row ORDER is also required: dropout masks bind to batch SLOTS
+inside the jitted step, so BN moments computed after a dropout layer
+are NOT row-permutation invariant.  With shuffling on, the 1-proc run
+(one global shuffle) and the 2-proc run (two per-shard shuffles) order
+the batch differently and the post-dropout BN running stats legitimately
+diverge at ~1e-2 — reproduced in a single-process control that only
+changed the shuffle seed (params stayed at ~8e-6; decoder/ASPP BN
+stats, the layers fed by dropout, carried the full divergence; backbone
+BN stats, which see no dropout, stayed at ~1e-4).  The worker therefore
+trains with cfg.shuffle=False: contiguous per-process shards concatenate
+to exactly the single-process stream, both runs bind identical rows to
+identical dropout slots, and the ONLY remaining difference between the
+programs is collective reduction order (in-process CPU collectives vs
+cross-process gloo).
+
+Error model for the tolerances below (measured on this host, two
+independent run pairs, each leg bitwise-deterministic across reruns):
+  params       absmax 2.9e-7   (f32 eps * reduction-tree depth * 2 steps)
+  batch_stats  absmax 2.6e-6   (variance sums amplify cancellation)
+  best_dice    bitwise equal   (metric psum'd over identical rows)
+atol=1e-5 gives ~4x margin over the worst observed key while still
+rejecting the ~1e-2 signature of any real row-order / placement bug by
+three orders of magnitude.
 
 The reference has no analogue: no torch.distributed / NCCL / MPI init
 exists anywhere in its tree (SURVEY.md §5.8).
@@ -105,19 +125,20 @@ def test_two_process_training_completes(runs):
 
 def test_multiprocess_matches_single_process(runs):
     """Final params/batch-stats of the 2-process run match the
-    single-process 8-device run (same global mesh, same row sets)."""
+    single-process 8-device run (same global mesh, same rows in the
+    same slots; tolerances from the measured error model in the module
+    docstring — reduction-order noise only)."""
     single, multi = runs
     a, b = _load(single), _load(multi)
     assert set(a) == set(b)
-    # f32 reduction-order noise between the two placement paths
-    # (device_put vs make_array_from_process_local_data) lands at
-    # ~1e-6; observed 0.8884027 vs 0.8884038
-    assert a["best_dice"] == pytest.approx(b["best_dice"], abs=1e-4)
+    # measured bitwise-equal (psum over identical rows); 1e-7 allows a
+    # ULP of metric reduction noise without weakening the claim
+    assert a["best_dice"] == pytest.approx(b["best_dice"], abs=1e-7)
     for k in a:
         if k == "best_dice":
             continue
         np.testing.assert_allclose(
-            a[k], b[k], rtol=5e-3, atol=1e-5,
+            a[k], b[k], rtol=0.0, atol=1e-5,
             err_msg=f"{k} diverged between 1-proc and 2-proc runs")
 
 
