@@ -59,7 +59,14 @@ def enable_compilation_cache(path: str | None = None,
     ``allow_cpu=True`` (the test suite: tests/conftest.py, VERDICT r4
     item 6) the cache is enabled under a per-host-fingerprint
     subdirectory, so a cache dir carried to a different CPU simply
-    misses — measured 3x wall-clock win on repeat compiles."""
+    misses — measured 3x wall-clock win on repeat compiles.
+
+    Known-benign noise: same-host CPU cache loads still print XLA's
+    cpu_aot_loader E-log ("machine feature +prefer-no-scatter is not
+    supported on the host") — those two +prefer-no-* entries are XLA
+    codegen *preferences* serialized alongside real ISA features, which
+    host feature detection never reports.  The comparison is XLA's, not
+    ours; the loaded code contains no unsupported instructions."""
     env = os.environ.get("PYLC_COMPILATION_CACHE")
     # The env kill-switch wins even over an explicit path argument —
     # otherwise a caller passing a default path would silently defeat it.
