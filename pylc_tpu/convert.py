@@ -610,7 +610,18 @@ def export_deeplab_pth(state, cfg, out_path: str,
     put_conv("decoder.last_conv.8", dp["head"]["kernel"])
     put_bias("decoder.last_conv.8", dp["head"]["bias"])
 
-    torch.save({"model": sd, "meta": cfg.to_meta()}, out_path)
+    meta = cfg.to_meta()
+    # Sanitize training-pipeline fields that poison the reference's
+    # INFERENCE path when replayed from the checkpoint meta: the
+    # reference scales every dataset — including the test-photo tile
+    # stream — by meta.clip (db/database.py:71 `int(clip * len)`), so a
+    # model trained with clip<1 makes its own `pylc.py test` drop
+    # (1-clip) of the tiles and crash in reconstruct
+    # (utils/tools.py:261 IndexError).  Found by
+    # tests/test_pth_interchange.py; recorded as F15 in docs/PARITY.md.
+    # An exported inference artifact must never clip the tile stream.
+    meta["clip"] = 1.0
+    torch.save({"model": sd, "meta": meta}, out_path)
     return out_path
 
 
