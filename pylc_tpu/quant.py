@@ -69,29 +69,42 @@ def _conv_dims(mod, x, kernel):
 
 def calibrate_absmax(model_eval, variables, batches: Iterable,
                      **apply_kwargs) -> Dict[str, float]:
-    """Run calibration batches through the eval model eagerly, recording
-    each conv instance's input absmax (keyed by module path).
+    """Run calibration batches through the eval model, recording each
+    conv instance's input absmax (keyed by module path).
+
+    The per-batch pass is JITTED — the interceptor collects traced
+    absmax values into a dict the jitted function returns, so one
+    compile covers all batches and one device round-trip per batch
+    fetches every conv's statistic (an eager pass would dispatch each
+    op over the tunnel individually: minutes instead of seconds).
 
     ``batches`` are prepared model inputs (the output of the predict
     path's normalize — see make_predict's _prepare_batch); a handful of
     dataset tiles suffices for the band-structured activations here."""
     import flax.linen as nn
-    import numpy as np
 
-    stats: Dict[str, float] = {}
+    def one_batch(b):
+        stats = {}
 
-    def interceptor(next_fun, args, kwargs, context):
-        m = context.module
-        if isinstance(m, nn.Conv) and context.method_name == "__call__":
-            p = _conv_path(m)
-            mx = float(np.asarray(jnp.abs(args[0]).max()))
-            stats[p] = max(stats.get(p, 0.0), mx)
-        return next_fun(*args, **kwargs)
+        def interceptor(next_fun, args, kwargs, context):
+            m = context.module
+            if isinstance(m, nn.Conv) and context.method_name == "__call__":
+                p = _conv_path(m)
+                mx = jnp.abs(args[0].astype(jnp.float32)).max()
+                stats[p] = jnp.maximum(stats[p], mx) if p in stats else mx
+            return next_fun(*args, **kwargs)
 
-    with nn.intercept_methods(interceptor):
-        for b in batches:
+        with nn.intercept_methods(interceptor):
             model_eval.apply(variables, b, **apply_kwargs)
-    return stats
+        return stats
+
+    one = jax.jit(one_batch)
+    out: Dict[str, float] = {}
+    for b in batches:
+        per = jax.device_get(one(b))
+        for k, v in per.items():
+            out[k] = max(out.get(k, 0.0), float(v))
+    return out
 
 
 def _quantized_conv(mod, x, act_scale: float):
