@@ -1,12 +1,20 @@
 """Post-training int8 quantization (PTQ) of the inference path.
 
 TPU v5e's MXU runs int8xint8->int32 at 394 TOPS — 2x the 197 TFLOP/s
-bf16 peak — so a conv-bound inference program (65.6 % bf16 conv MFU,
-docs/PERF_ROUND5.md) has real headroom from quantized convs.  This
-module quantizes WITHOUT touching the model definitions: a flax method
-interceptor (``nn.intercept_methods``) swaps every ``nn.Conv`` call in
-the eval model for an int8 kernel at apply time, so the same module
-tree serves bf16 and int8.
+bf16 peak — the hypothesis was that a conv-bound inference program
+(65.6 % bf16 conv MFU, docs/PERF_ROUND5.md) had headroom from
+quantized convs.  **Measured outcome: negative** — the quantize/
+dequantize chains around every conv are full-tensor VPU/HBM passes
+that cost more than the int8 MXU saves (0.9x compute vs bf16, and
+per-tensor absmax activation scales flip ~5 % of argmax pixels on the
+low-margin parity checkpoint); see docs/PERF_ROUND5.md §4 for the
+numbers and the compiled-HLO mechanism.  bf16 remains the shipping
+inference path; this module is the recorded experiment + tooling.
+
+The implementation quantizes WITHOUT touching the model definitions: a
+flax method interceptor (``nn.intercept_methods``) swaps every
+``nn.Conv`` call in the eval model for an int8 kernel at apply time,
+so the same module tree serves bf16 and int8.
 
 Scheme (standard symmetric PTQ):
   - weights: per-output-channel int8, scale = absmax/127 over (H,W,I);
