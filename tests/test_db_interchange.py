@@ -159,8 +159,17 @@ def test_our_db_trains_in_reference(our_db_from_ref_raw, ref_artifacts):
     ref2 = os.path.join(ref_artifacts["scratch"], "ref_interchange")
     if os.path.exists(ref2):
         shutil.rmtree(ref2)
-    shutil.copytree(ref_copy, ref2,
-                    ignore=shutil.ignore_patterns("outputs", "db", "save"))
+
+    def _ignore_data_artifacts(dirpath, names):
+        # Skip only the ARTIFACT dirs (data/db, data/save, data/outputs)
+        # from the donor copy — a bare ignore_patterns("db", ...) would
+        # also drop the reference's db/ SOURCE package and break
+        # `from db.dataset import MLPDataset` in the subprocess.
+        if os.path.basename(dirpath) == "data":
+            return {n for n in names if n in ("db", "save", "outputs")}
+        return set()
+
+    shutil.copytree(ref_copy, ref2, ignore=_ignore_data_artifacts)
     os.makedirs(os.path.join(ref2, "data", "models"), exist_ok=True)
 
     log = os.path.join(ref_artifacts["scratch"], "interchange_train.log")
