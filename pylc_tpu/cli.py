@@ -173,6 +173,31 @@ def get_parser() -> argparse.ArgumentParser:
     xp.add_argument("-o", "--output", type=str, default=None)
     xp.set_defaults(func=run_export)
 
+    # ------------------------- serve ---------------------------------- #
+    sv = sub.add_parser(
+        "serve",
+        help="Resident HTTP segmentation daemon (pylc_tpu/server.py): "
+             "POST /segment with image bytes -> colour mask PNG; "
+             "GET /healthz.  Serves a checkpoint (.ckpt/.pth, any "
+             "photo geometry) or a hermetic .pylcx artifact (fixed "
+             "geometry, no model zoo).")
+    _base(sv)
+    sv.add_argument("-l", "--model", type=str, required=True,
+                    metavar="MODEL_PATH",
+                    help=".ckpt / .pth checkpoint or .pylcx artifact")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8917)
+    sv.add_argument("--scale", type=float, default=None,
+                    help="Pre-fit scale applied to every photo "
+                         "(reference --scale semantics).")
+    sv.add_argument("--batch_size", type=int, default=16,
+                    help="Tile batch per forward (16 is "
+                         "measured-optimal, docs/PERF_ROUND5.md).")
+    sv.add_argument("--crf", action="store_true",
+                    help="Apply dense-CRF refinement (checkpoint "
+                         "backend; .pylcx bakes CRF at export).")
+    sv.set_defaults(func=run_serve)
+
     return p
 
 
@@ -301,6 +326,15 @@ def run_export(args):
           f"  geometry {H}x{W} ch={header['ch']} stride="
           f"{header['stride']}, platforms {header['platforms']}, "
           f"calling convention v{header['calling_convention']}")
+
+
+def run_serve(args):
+    from pylc_tpu.server import build_service, serve
+    cfg = _cfg_from_args(args)
+    service = build_service(
+        args.model, cfg=cfg, use_crf=getattr(args, "crf", False),
+        scale=args.scale, batch_size=args.batch_size)
+    serve(service, host=args.host, port=args.port)
 
 
 def print_profile(meta: Config):
