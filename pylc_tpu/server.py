@@ -237,6 +237,9 @@ def build_service(model_path: str, cfg=None, use_crf: bool = False,
                   batch_size: int = 16) -> SegmentationService:
     """Construct the service for a .pylcx artifact or a checkpoint."""
     if model_path.endswith(".pylcx"):
+        if use_crf:
+            print("serve: --crf ignored for .pylcx artifacts — CRF is "
+                  "baked (or not) at export time (pylc.py export --crf)")
         from pylc_tpu.export import ServingModel
         return SegmentationService(
             serving_model=ServingModel.load(model_path),
